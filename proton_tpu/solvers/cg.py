@@ -1,0 +1,115 @@
+"""Jitted preconditioned conjugate-gradient solver
+(replaces conjugated_gradient, src/core/core_bits/solver_cg.hpp:44-144).
+
+Semantics mirrored from the reference:
+- optional Jacobi (diagonal) preconditioner (solver_cg.hpp:78-84,106)
+- relative-residual convergence test nr/nr0 < tol (":113-116")
+- divergence test nr/nr0 > divergence_threshold (":123-126")
+- iteration cap `iter > max_iter` (":118-121")
+- exit reason enum {CONVERGED, DIVERGED, MAX_ITER_REACHED} (":37-42")
+- optional residual history (the reference writes a histfile per iteration,
+  ":102-103"; here a fixed-size device array is returned and the app layer
+  writes the file)
+
+The operator is matrix-free: any callable x -> A @ x works, including the
+segment-sum operator of :mod:`proton_tpu.methods.assembly` and its sharded
+variant in :mod:`proton_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+CONVERGED = 0
+DIVERGED = 1
+MAX_ITER_REACHED = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CGParams:
+    """cg_params defaults mirrored from solver_cg.hpp:54-60."""
+
+    convergence_threshold: float = 1e-9
+    divergence_threshold: float = 100.0
+    max_iter: int = 1000
+    apply_preconditioner: bool = False
+    record_history: bool = False
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    exit_reason: jnp.ndarray      # int32 scalar, one of the codes above
+    iterations: jnp.ndarray       # int32 scalar
+    rel_residual: jnp.ndarray     # nr/nr0 at exit
+    history: Optional[jnp.ndarray]  # [max_iter+2] of nr/nr0, NaN-padded
+
+
+def conjugated_gradient(apply_A: Callable, b, diag=None,
+                        params: CGParams = CGParams()) -> CGResult:
+    """PCG with x0 = 0 (solver_cg.hpp:63-144). ``diag`` is the operator
+    diagonal, required when apply_preconditioner is set."""
+    dtype = b.dtype
+    n = b.shape[0]
+    if params.apply_preconditioner:
+        if diag is None:
+            raise ValueError("Jacobi preconditioning requires diag(A)")
+        inv_diag = 1.0 / diag
+
+        def precond(r):
+            return inv_diag * r
+    else:
+        def precond(r):
+            return r
+
+    x0 = jnp.zeros_like(b)
+    r0 = b  # r = b - A*0
+    d0 = precond(r0)
+    nr0 = jnp.linalg.norm(r0)
+    hist_len = params.max_iter + 2 if params.record_history else 1
+    hist0 = jnp.full((hist_len,), jnp.nan, dtype=dtype)
+
+    def cond(state):
+        _, _, _, _, _, exit_code, _ = state
+        return exit_code < 0
+
+    def body(state):
+        x, r, d, nr, it, _, hist = state
+        if params.record_history:
+            hist = hist.at[jnp.minimum(it, hist_len - 1)].set(nr / nr0)
+        y = apply_A(d)
+        iMr = precond(r)
+        rho = jnp.vdot(r, iMr)
+        alpha = rho / jnp.vdot(d, y)
+        x = x + alpha * d
+        r = r - alpha * y
+        nr = jnp.linalg.norm(r)
+        rel = nr / nr0
+        exit_code = jnp.where(
+            rel < params.convergence_threshold, CONVERGED,
+            jnp.where(it > params.max_iter, MAX_ITER_REACHED,
+                      jnp.where(rel > params.divergence_threshold,
+                                DIVERGED, -1))).astype(jnp.int32)
+        iMr = precond(r)
+        beta = jnp.vdot(r, iMr) / rho
+        d = iMr + beta * d
+        return (x, r, d, nr, it + 1, exit_code, hist)
+
+    state0 = (x0, r0, d0, nr0, jnp.int32(0), jnp.int32(-1), hist0)
+    x, r, d, nr, it, exit_code, hist = jax.lax.while_loop(cond, body, state0)
+    if params.record_history:
+        hist = hist.at[jnp.minimum(it, hist_len - 1)].set(nr / nr0)
+    return CGResult(x, exit_code, it, nr / nr0,
+                    hist if params.record_history else None)
+
+
+def solve_spd_dense(A_dense, b):
+    """Small dense SPD direct solve — the stand-in for the reference's
+    Eigen::SparseLU path (e.g. cuthho_square.cpp:915-919) on problems small
+    enough to densify. Cholesky-based."""
+    c = jnp.linalg.cholesky(A_dense)
+    return jax.scipy.linalg.cho_solve((c, True), b)
