@@ -1,0 +1,399 @@
+"""Level-set cut classification pipeline, fully vectorized
+(replaces src/methods/cuthho_bits/cuthho_geom.hpp:68-545).
+
+The reference stores classification state in per-element UserData structs
+and loops over elements; here each stage is one batched jnp computation
+producing parallel arrays (extra SoA columns of the mesh). Location and
+agglomeration codes match the numeric encodings the reference exports to
+SILO (output_mesh_info, cuthho_square.cpp:1489-1516).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import cell_points
+
+# element_location (cuthho_mesh.hpp:31-36)
+LOC_NEG = 0
+LOC_POS = 1
+LOC_CUT = 2
+LOC_UNDEF = 3
+
+# cell_agglo_set (cuthho_mesh.hpp:38-43), encoded as in output_mesh_info
+AGGLO_UNDEF = 0
+AGGLO_OK = 1
+AGGLO_KO_NEG = 2
+AGGLO_KO_POS = 3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CutData:
+    """Parallel classification arrays (the SoA form of cell/face/node
+    cuthho UserData, cuthho_mesh.hpp:45-90).
+
+    node_loc   [P]        LOC_NEG / LOC_POS
+    face_loc   [F]        LOC_NEG / LOC_POS / LOC_CUT
+    face_isect [F, 2]     zero-crossing point (junk for uncut faces)
+    face_node_inside [F]  0/1: which endpoint is on the negative side
+    cell_loc   [C]
+    interface  [C, R+1, 2] oriented refined interface polyline (junk for
+                           uncut cells); [*, 0] == p0, [*, R] == p1
+    agglo_set  [C]        AGGLO_* (only set on the -A path)
+    distorted  [C]        cells touched by node displacement
+    """
+
+    node_loc: jax.Array
+    face_loc: jax.Array
+    face_isect: jax.Array
+    face_node_inside: jax.Array
+    cell_loc: jax.Array
+    interface: jax.Array
+    agglo_set: jax.Array
+    distorted: jax.Array
+
+    @property
+    def n_interface_points(self) -> int:
+        return self.interface.shape[1]
+
+
+def find_zero_crossings(pa, pb, phi, iters: int = 30):
+    """Batched bisection for the zero of phi on segments [pa, pb]
+    (find_zero_crossing, cuthho_geom.hpp:68-116). The reference stops when
+    the midpoint moves less than diameter/1e4 (<= 30 iters); a fixed 30
+    iterations is at least as accurate (error ~ |pb-pa| * 2^-30) and
+    branch-free. pa/pb: [..., 2]."""
+
+    def body(_, carry):
+        a, b = carry
+        m = 0.5 * (a + b)
+        lb = phi(b)
+        lm = phi(m)
+        same = ((lb >= 0) & (lm >= 0)) | ((lb < 0) & (lm < 0))
+        # same sign as b => crossing in [a, m]
+        new_b = jnp.where(same[..., None], m, b)
+        new_a = jnp.where(same[..., None], a, m)
+        return new_a, new_b
+
+    a, b = jax.lax.fori_loop(0, iters, body, (pa, pb))
+    return 0.5 * (a + b)
+
+
+def detect_node_position(mesh, phi):
+    """[P] node side: phi < 0 -> NEG else POS (cuthho_geom.hpp:118-130)."""
+    return jnp.where(phi(mesh.points) < 0, LOC_NEG, LOC_POS).astype(jnp.int8)
+
+
+class FaceCuts(NamedTuple):
+    loc: jnp.ndarray           # [F]
+    isect: jnp.ndarray         # [F, 2]
+    node_inside: jnp.ndarray   # [F]
+
+
+def detect_cut_faces(mesh, phi) -> FaceCuts:
+    """Per-face sign analysis + zero crossing (cuthho_geom.hpp:132-161).
+    The bisection runs on every face unconditionally (branch-free); the
+    result is only meaningful where loc == LOC_CUT."""
+    fp = mesh.points[mesh.face_ptids]  # [F, 2, 2]
+    l0 = phi(fp[:, 0])
+    l1 = phi(fp[:, 1])
+    loc = jnp.where((l0 >= 0) & (l1 >= 0), LOC_POS,
+                    jnp.where((l0 < 0) & (l1 < 0), LOC_NEG,
+                              LOC_CUT)).astype(jnp.int8)
+    isect = find_zero_crossings(fp[:, 0], fp[:, 1], phi)
+    node_inside = jnp.where(l0 < 0, 0, 1).astype(jnp.int8)
+    return FaceCuts(loc, isect, node_inside)
+
+
+class CellCuts(NamedTuple):
+    loc: jnp.ndarray        # [C]
+    p0: jnp.ndarray         # [C, 2] oriented interface start (junk uncut)
+    p1: jnp.ndarray         # [C, 2]
+    cut_count: jnp.ndarray  # [C] number of cut faces (must be 0 or 2)
+
+
+def detect_cut_cells(mesh, phi, fc: FaceCuts) -> CellCuts:
+    """Classify cells and orient the interface segment so the negative side
+    is consistent (detect_cut_cells, cuthho_geom.hpp:275-340).
+
+    The probe: pn = p0 + rot90(p1 - p0); if phi(pn) >= 0, swap p0/p1.
+    Any cell with a cut count other than 0 or 2 is an error — check
+    ``cut_count`` on the host (the reference throws,
+    cuthho_geom.hpp:335-336).
+    """
+    floc = fc.loc[mesh.cell_faces]                  # [C, nF]
+    k = jnp.arange(mesh.max_pts)[None, :]
+    valid = k < mesh.cell_npts[:, None]
+    is_cut_f = (floc == LOC_CUT) & valid
+    count = jnp.sum(is_cut_f, axis=1)
+
+    # first and second cut face (by local index), as in the fill order of
+    # cuthho_geom.hpp:289-293
+    big = mesh.max_pts + 1
+    order = jnp.where(is_cut_f, k, big)
+    first = jnp.argmin(order, axis=1)
+    order2 = order.at[jnp.arange(mesh.num_cells), first].set(big)
+    second = jnp.argmin(order2, axis=1)
+
+    isect_cell = fc.isect[mesh.cell_faces]          # [C, nF, 2]
+    p0 = jnp.take_along_axis(isect_cell, first[:, None, None].astype(jnp.int32)
+                             .repeat(2, -1), axis=1)[:, 0]
+    p1 = jnp.take_along_axis(isect_cell, second[:, None, None].astype(jnp.int32)
+                             .repeat(2, -1), axis=1)[:, 0]
+
+    pt = p1 - p0
+    pn = p0 + jnp.stack([-pt[..., 1], pt[..., 0]], axis=-1)
+    swap = phi(pn) >= 0
+    p0o = jnp.where(swap[:, None], p1, p0)
+    p1o = jnp.where(swap[:, None], p0, p1)
+
+    # uncut: POS iff all cell points strictly positive (note: > 0, not the
+    # >= 0 of the node test — mirrored from cuthho_geom.hpp:301-309)
+    all_pos = jnp.all((phi(cell_points(mesh)) > 0) |
+                      (k >= mesh.cell_npts[:, None]), axis=1)
+    loc = jnp.where(count >= 2, LOC_CUT,
+                    jnp.where(all_pos, LOC_POS, LOC_NEG)).astype(jnp.int8)
+    return CellCuts(loc, p0o, p1o, count)
+
+
+def detect_cell_agglo_set(mesh, phi, fc: FaceCuts, node_loc, cell_loc):
+    """Classify bad cuts against the 6 quad cut configurations with
+    cut-fraction threshold 0.3 (detect_cell_agglo_set,
+    cuthho_geom.hpp:163-273). Quad-only like the reference."""
+    if mesh.max_pts != 4:
+        raise ValueError("agglomeration sets work only on quads for now")
+    threshold = 0.3
+    C = mesh.num_cells
+    pts = cell_points(mesh)                             # [C, 4, 2]
+    floc = fc.loc[mesh.cell_faces]                      # [C, 4]
+    fisect = fc.isect[mesh.cell_faces]                  # [C, 4, 2]
+    fmeas = jnp.linalg.norm(
+        mesh.points[mesh.face_ptids[mesh.cell_faces]][:, :, 1]
+        - mesh.points[mesh.face_ptids[mesh.cell_faces]][:, :, 0], axis=-1)
+    nloc = node_loc[mesh.cell_ptids]                    # [C, 4]
+    cut_f = floc == LOC_CUT
+
+    # distance fractions d[c, n, f] for node n against face f
+    def frac(n, f):
+        return jnp.linalg.norm(pts[:, n] - fisect[:, f], axis=-1) / fmeas[:, f]
+
+    agglo = jnp.full((C,), AGGLO_UNDEF, dtype=jnp.int8)
+
+    # single-node cases: faces (i, i+1) both cut -> corner node n = i+1
+    # (cuthho_geom.hpp:184-251)
+    for i in range(4):
+        n = (i + 1) % 4
+        f1, f2 = i, (i + 1) % 4
+        fire = cut_f[:, f1] & cut_f[:, f2]
+        da = frac(n, f1)
+        db = frac(n, f2)
+        ok = jnp.minimum(da, db) > threshold
+        ko = jnp.where(nloc[:, n] == LOC_NEG, AGGLO_KO_NEG, AGGLO_KO_POS)
+        res = jnp.where(ok, AGGLO_OK, ko).astype(jnp.int8)
+        agglo = jnp.where(fire, res, agglo)
+
+    # double-node cases: opposite faces (0,2) and (1,3) both cut
+    # (cuthho_geom.hpp:212-240,253-257)
+    for f1, f2 in ((0, 2), (1, 3)):
+        n1 = f1
+        n2 = (f2 + 1) % 4
+        fire = cut_f[:, f1] & cut_f[:, f2]
+        da = frac(n1, f1)
+        db = frac(n2, f2)
+        m1 = jnp.maximum(da, db)
+        m2 = jnp.maximum(1 - da, 1 - db)
+        ok = jnp.minimum(m1, m2) > threshold
+        ko_n1neg = jnp.where(m1 <= threshold, AGGLO_KO_NEG, AGGLO_KO_POS)
+        ko_else = jnp.where(m2 <= threshold, AGGLO_KO_NEG, AGGLO_KO_POS)
+        ko = jnp.where(nloc[:, n1] == LOC_NEG, ko_n1neg, ko_else)
+        res = jnp.where(ok, AGGLO_OK, ko).astype(jnp.int8)
+        agglo = jnp.where(fire, res, agglo)
+
+    return agglo
+
+
+def make_neighbors_info(mesh, max_neighbors: int = 8):
+    """Point-sharing cell neighbor lists [C, max_neighbors], -1 padded
+    (make_neighbors_info, cuthho_geom.hpp:343-380 — but via a point->cell
+    incidence map instead of the reference's O(C^2) pair scan)."""
+    import numpy as np
+
+    cp = np.asarray(mesh.cell_ptids)
+    npts = np.asarray(mesh.cell_npts)
+    C = mesh.num_cells
+    pt2cells = {}
+    for c in range(C):
+        for p in cp[c, :npts[c]]:
+            pt2cells.setdefault(int(p), []).append(c)
+    nbrs = [set() for _ in range(C)]
+    for cells in pt2cells.values():
+        for a in cells:
+            for b in cells:
+                if a != b:
+                    nbrs[a].add(b)
+    out = -np.ones((C, max_neighbors), dtype=np.int32)
+    for c, s in enumerate(nbrs):
+        lst = sorted(s)[:max_neighbors]
+        out[c, :len(lst)] = lst
+    return jnp.asarray(out)
+
+
+class MoveNodesResult(NamedTuple):
+    points: jnp.ndarray      # displaced point coordinates [P, 2]
+    displaced: jnp.ndarray   # [P] bool
+    distorted: jnp.ndarray   # [C] bool
+    concave: jnp.ndarray     # [C] bool — must be all-False (the reference
+    #                          throws "concave poly", cuthho_geom.hpp:538-540)
+
+
+def move_nodes(mesh, fc: FaceCuts) -> MoveNodesResult:
+    """Bad-cut fix #1: displace nodes whose face intersection point is
+    within closeness 0.4 of them by (face midpoint - intersection)/2,
+    accumulating displacements (move_nodes, cuthho_geom.hpp:466-543)."""
+    closeness_thresh = 0.4
+    fp = mesh.points[mesh.face_ptids]      # [F, 2, 2]
+    bar = 0.5 * (fp[:, 0] + fp[:, 1])
+    lf = jnp.linalg.norm(fp[:, 1] - fp[:, 0], axis=-1)
+    dp = jnp.linalg.norm(fc.isect - fp[:, 0], axis=-1)
+    closeness = dp / lf
+
+    on_iface = fc.loc == LOC_CUT
+    move0 = on_iface & (closeness < closeness_thresh)
+    move1 = on_iface & (closeness > 1.0 - closeness_thresh)
+    delta = 0.5 * (bar - fc.isect)         # [F, 2]
+
+    P = mesh.num_points
+    disp = jnp.zeros((P, 2), dtype=mesh.points.dtype)
+    target0 = jnp.where(move0, mesh.face_ptids[:, 0], P)
+    target1 = jnp.where(move1, mesh.face_ptids[:, 1], P)
+    disp = disp - jax.ops.segment_sum(
+        jnp.where(move0[:, None], delta, 0.0), target0,
+        num_segments=P + 1)[:P]
+    disp = disp - jax.ops.segment_sum(
+        jnp.where(move1[:, None], delta, 0.0), target1,
+        num_segments=P + 1)[:P]
+    displaced = (jax.ops.segment_sum(
+        (move0 | move1).astype(jnp.int32),
+        jnp.where(move0 | move1,
+                  jnp.where(move0, mesh.face_ptids[:, 0],
+                            mesh.face_ptids[:, 1]), P),
+        num_segments=P + 1)[:P]) > 0
+
+    new_points = mesh.points + disp
+    distorted = jnp.any(displaced[mesh.cell_ptids], axis=1)
+
+    # concavity check on distorted cells (cuthho_geom.hpp:517-542)
+    pts = new_points[mesh.cell_ptids]
+    k = jnp.arange(mesh.max_pts)[None, :]
+    npts = mesh.cell_npts[:, None]
+    idx = lambda d: jnp.where(k + d < npts, k + d,
+                              k + d - npts).astype(jnp.int32)
+    pa = pts
+    pb = jnp.take_along_axis(pts, idx(1)[..., None], axis=1)
+    pc = jnp.take_along_axis(pts, idx(2)[..., None], axis=1)
+    v1 = pb - pa
+    v2 = pc - pb
+    cross = v1[..., 0] * v2[..., 1] - v2[..., 0] * v1[..., 1]
+    concave = distorted & jnp.any((cross < 0) & (k < npts), axis=1)
+
+    return MoveNodesResult(new_points, displaced, distorted, concave)
+
+
+def refine_interface(mesh, phi, cells: CellCuts, levels: int):
+    """Bisect the interface polyline to 2^levels segments, projecting each
+    midpoint back onto the zero level set along the (unnormalized!) span
+    normal (refine_interface, cuthho_geom.hpp:609-673).
+
+    Returns interface [C, 2^levels + 1, 2] (junk for uncut cells).
+    """
+    R = 2 ** levels
+    C = mesh.num_cells
+    iface = jnp.zeros((C, R + 1, 2), dtype=mesh.points.dtype)
+    iface = iface.at[:, 0].set(cells.p0)
+    iface = iface.at[:, R].set(cells.p1)
+    if levels == 0:
+        # degenerate: single segment p0-p1 (reference requires levels >= 1
+        # for an actual polyline; detect_cut_cells already stored p0, p1)
+        return iface
+
+    diam = None  # threshold no longer needed: fixed-iteration bisection
+
+    for d in range(levels):
+        span = R >> d                       # current span length
+        starts = jnp.arange(0, R, span)     # [2^d]
+        mids = starts + span // 2
+        ends = starts + span
+        p0 = iface[:, starts]               # [C, S, 2]
+        p1 = iface[:, ends]
+        pm = 0.5 * (p0 + p1)
+        pt = p1 - p0
+        pn = jnp.stack([-pt[..., 1], pt[..., 0]], axis=-1)
+        ps1 = pm + pn
+        ps2 = pm - pn
+        lm = phi(pm)
+        ls1 = phi(ps1)
+        diff1 = ~(((lm >= 0) & (ls1 >= 0)) | ((lm < 0) & (ls1 < 0)))
+        # crossing toward ps1 where signs differ, else toward ps2
+        # (reference errors out if neither; here the ps2 branch is taken
+        # unconditionally as fallback — validate via interface length tests)
+        pb = jnp.where(diff1[..., None], ps1, ps2)
+        ip = find_zero_crossings(pm, pb, phi)
+        iface = iface.at[:, mids].set(ip)
+
+    return iface
+
+
+def cut_preprocess(mesh, phi, levels: int = 4, agglomeration: bool = False):
+    """The full level-set mesh preprocessing pipeline of the reference main
+    (cuthho_square.cpp:2035-2052):
+
+    displacement path (default, -D): detect nodes/faces, move nodes,
+    re-detect faces, detect cells, refine interface.
+    agglomeration path (-A): detect nodes/faces/cells, compute agglo sets +
+    neighbor info (detection only — the reference's merge step is dead code,
+    see SURVEY.md "known bugs").
+
+    Returns (mesh', CutData). Raises on invalid cut counts / concave cells
+    (host-side check of the device flags).
+    """
+    import numpy as np
+
+    node_loc = detect_node_position(mesh, phi)
+    fcuts = detect_cut_faces(mesh, phi)
+    distorted = jnp.zeros((mesh.num_cells,), dtype=bool)
+    agglo = jnp.full((mesh.num_cells,), AGGLO_UNDEF, dtype=jnp.int8)
+
+    if agglomeration:
+        ccuts = detect_cut_cells(mesh, phi, fcuts)
+        agglo = detect_cell_agglo_set(mesh, phi, fcuts, node_loc, ccuts.loc)
+    else:
+        mv = move_nodes(mesh, fcuts)
+        if bool(jnp.any(mv.concave)):
+            raise RuntimeError("concave poly generated by node displacement")
+        mesh = mesh.with_points(mv.points)
+        distorted = mv.distorted
+        fcuts = detect_cut_faces(mesh, phi)   # re-run on moved points
+        ccuts = detect_cut_cells(mesh, phi, fcuts)
+
+    bad = np.asarray((ccuts.cut_count != 0) & (ccuts.cut_count != 2))
+    if bad.any():
+        raise RuntimeError(
+            f"invalid number of cuts in {int(bad.sum())} cell(s)")
+
+    iface = refine_interface(mesh, phi, ccuts, levels)
+    cutdata = CutData(
+        node_loc=node_loc,
+        face_loc=fcuts.loc,
+        face_isect=fcuts.isect,
+        face_node_inside=fcuts.node_inside,
+        cell_loc=ccuts.loc,
+        interface=iface,
+        agglo_set=agglo,
+        distorted=distorted,
+    )
+    return mesh, cutdata

@@ -189,6 +189,54 @@ def take_local_data(dofmap: DofMap, solution, g_loc=None):
     return x_loc
 
 
+# ---------------------------------------------------------------------------
+# Generic multi-block machinery (used by the doubled-dof interface
+# assembler, cuthho_square.cpp:1091-1443, and any custom DOF layout):
+# a "block" is (asm_idx [n, d], lc [n, d, d]) with the same sentinel
+# convention (index == n_dofs -> dropped).
+# ---------------------------------------------------------------------------
+
+def scatter_values(asm_idx, n_dofs: int, values):
+    y = jax.ops.segment_sum(values.reshape(-1), asm_idx.reshape(-1),
+                            num_segments=n_dofs + 1)
+    return y[:n_dofs]
+
+
+def gather_values(asm_idx, x):
+    x_ext = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+    return x_ext[asm_idx]
+
+
+def make_multi_operator(n_dofs: int, blocks):
+    """Matrix-free operator from several (asm_idx, lc) blocks."""
+
+    def apply_A(x):
+        y = jnp.zeros((n_dofs,), dtype=x.dtype)
+        for asm_idx, lc in blocks:
+            xl = gather_values(asm_idx, x)
+            yl = _einsum("cij,cj->ci", lc, xl)
+            y = y + scatter_values(asm_idx, n_dofs, yl)
+        return y
+
+    return apply_A
+
+
+def multi_operator_diagonal(n_dofs: int, blocks):
+    d = jnp.zeros((n_dofs,))
+    for asm_idx, lc in blocks:
+        dl = jnp.diagonal(lc, axis1=1, axis2=2)
+        d = d + scatter_values(asm_idx, n_dofs, dl)
+    return d
+
+
+def multi_assemble_rhs(n_dofs: int, contributions):
+    """Global RHS from (asm_idx [n, d], values [n, d]) contributions."""
+    rhs = jnp.zeros((n_dofs,))
+    for asm_idx, vals in contributions:
+        rhs = rhs + scatter_values(asm_idx, n_dofs, vals)
+    return rhs
+
+
 def assemble_bcoo(dofmap: DofMap, lc):
     """Explicit sparse matrix (BCOO) of the condensed system — for tests,
     diagnostics and dump parity (utils.hpp:376-386). Duplicate entries are
