@@ -21,6 +21,14 @@ _X64 = os.environ.get("PROTON_TPU_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Backend override. NOTE: the axon TPU plugin ignores the standard
+# JAX_PLATFORMS environment variable, so we provide PROTON_TPU_PLATFORM
+# and apply it through jax.config (which does work) before any backend
+# initialization.
+_PLATFORM = os.environ.get("PROTON_TPU_PLATFORM")
+if _PLATFORM:
+    jax.config.update("jax_platforms", _PLATFORM)
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 import numpy as np  # noqa: E402
 

@@ -11,6 +11,7 @@ SILO (output_mesh_info, cuthho_square.cpp:1489-1516).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -348,43 +349,27 @@ def refine_interface(mesh, phi, cells: CellCuts, levels: int):
     return iface
 
 
-def cut_preprocess(mesh, phi, levels: int = 4, agglomeration: bool = False):
-    """The full level-set mesh preprocessing pipeline of the reference main
-    (cuthho_square.cpp:2035-2052):
-
-    displacement path (default, -D): detect nodes/faces, move nodes,
-    re-detect faces, detect cells, refine interface.
-    agglomeration path (-A): detect nodes/faces/cells, compute agglo sets +
-    neighbor info (detection only — the reference's merge step is dead code,
-    see SURVEY.md "known bugs").
-
-    Returns (mesh', CutData). Raises on invalid cut counts / concave cells
-    (host-side check of the device flags).
-    """
-    import numpy as np
-
+def _preprocess_core(mesh, phi, levels: int, agglomeration: bool):
+    """Pure device pipeline; jitted by cut_preprocess. Returns
+    (points', CutData, concave_any, n_bad_cells)."""
     node_loc = detect_node_position(mesh, phi)
     fcuts = detect_cut_faces(mesh, phi)
     distorted = jnp.zeros((mesh.num_cells,), dtype=bool)
     agglo = jnp.full((mesh.num_cells,), AGGLO_UNDEF, dtype=jnp.int8)
+    concave_any = jnp.asarray(False)
 
     if agglomeration:
         ccuts = detect_cut_cells(mesh, phi, fcuts)
         agglo = detect_cell_agglo_set(mesh, phi, fcuts, node_loc, ccuts.loc)
     else:
         mv = move_nodes(mesh, fcuts)
-        if bool(jnp.any(mv.concave)):
-            raise RuntimeError("concave poly generated by node displacement")
+        concave_any = jnp.any(mv.concave)
         mesh = mesh.with_points(mv.points)
         distorted = mv.distorted
         fcuts = detect_cut_faces(mesh, phi)   # re-run on moved points
         ccuts = detect_cut_cells(mesh, phi, fcuts)
 
-    bad = np.asarray((ccuts.cut_count != 0) & (ccuts.cut_count != 2))
-    if bad.any():
-        raise RuntimeError(
-            f"invalid number of cuts in {int(bad.sum())} cell(s)")
-
+    n_bad = jnp.sum((ccuts.cut_count != 0) & (ccuts.cut_count != 2))
     iface = refine_interface(mesh, phi, ccuts, levels)
     cutdata = CutData(
         node_loc=node_loc,
@@ -396,4 +381,28 @@ def cut_preprocess(mesh, phi, levels: int = 4, agglomeration: bool = False):
         agglo_set=agglo,
         distorted=distorted,
     )
-    return mesh, cutdata
+    return mesh.points, cutdata, concave_any, n_bad
+
+
+def cut_preprocess(mesh, phi, levels: int = 4, agglomeration: bool = False):
+    """The full level-set mesh preprocessing pipeline of the reference main
+    (cuthho_square.cpp:2035-2052), jit-compiled end to end:
+
+    displacement path (default, -D): detect nodes/faces, move nodes,
+    re-detect faces, detect cells, refine interface.
+    agglomeration path (-A): detect nodes/faces/cells, compute agglo sets +
+    neighbor info (detection only — the reference's merge step is dead code,
+    see SURVEY.md "known bugs").
+
+    Returns (mesh', CutData). Raises on invalid cut counts / concave cells
+    (host-side check of the device flags, mirroring the reference throws at
+    cuthho_geom.hpp:335-336 and :538-540).
+    """
+    core = jax.jit(partial(_preprocess_core, phi=phi, levels=levels,
+                           agglomeration=agglomeration))
+    points, cutdata, concave_any, n_bad = core(mesh)
+    if bool(concave_any):
+        raise RuntimeError("concave poly generated by node displacement")
+    if int(n_bad) != 0:
+        raise RuntimeError(f"invalid number of cuts in {int(n_bad)} cell(s)")
+    return mesh.with_points(points), cutdata

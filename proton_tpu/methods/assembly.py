@@ -41,6 +41,24 @@ def _einsum(*args):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class FaceIncidence:
+    """Transpose of the cell->face map, for gather-based operator
+    application (TPU: gathers are far cheaper than segment_sum scatters in
+    the CG hot loop).
+
+    face_cells [F, 2]: the (<= 2) cells owning each face; missing -> C.
+    face_slot  [F, 2]: the local edge index of the face within that cell.
+    expand    [n_other_faces]: face id of each compressed free face
+    (the assembler's expand_table, hho.hpp:310-323).
+    """
+
+    face_cells: jax.Array
+    face_slot: jax.Array
+    expand: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class DofMap:
     """Local-to-global DOF index map with Dirichlet masking.
 
@@ -187,6 +205,58 @@ def take_local_data(dofmap: DofMap, solution, g_loc=None):
     if g_loc is not None:
         x_loc = x_loc + g_loc
     return x_loc
+
+
+def build_face_incidence(mesh, dofmap: DofMap) -> FaceIncidence:
+    """Host-side transpose of cell_faces for gather-based apply."""
+    C, nF = np.asarray(mesh.cell_faces).shape
+    F = mesh.num_faces
+    cell_faces = np.asarray(mesh.cell_faces)
+    edge_valid = (np.arange(nF)[None, :] <
+                  np.asarray(mesh.cell_npts)[:, None])
+    f_flat = cell_faces[edge_valid]
+    c_flat = np.broadcast_to(np.arange(C)[:, None], (C, nF))[edge_valid]
+    k_flat = np.broadcast_to(np.arange(nF)[None, :], (C, nF))[edge_valid]
+    order = np.argsort(f_flat, kind="stable")
+    fs, cs, ks = f_flat[order], c_flat[order], k_flat[order]
+    first = np.concatenate([[True], fs[1:] != fs[:-1]])
+    group_start = np.maximum.accumulate(np.where(first,
+                                                 np.arange(len(fs)), 0))
+    occ = np.arange(len(fs)) - group_start         # 0 or 1 per entry
+    face_cells = np.full((F, 2), C, dtype=np.int64)
+    face_slot = np.zeros((F, 2), dtype=np.int64)
+    face_cells[fs, occ] = cs
+    face_slot[fs, occ] = ks
+    expand = np.nonzero(~np.asarray(dofmap.is_dirichlet_face))[0]
+    return FaceIncidence(jnp.asarray(face_cells.astype(np.int32)),
+                         jnp.asarray(face_slot.astype(np.int32)),
+                         jnp.asarray(expand.astype(np.int32)))
+
+
+def make_gather_operator(dofmap: DofMap, inc: FaceIncidence, lc):
+    """A @ x with no scatter: cell rows are written directly (cell dofs
+    belong to exactly one cell) and face rows gather the <= 2 owning
+    cells' contributions through the FaceIncidence transpose. Hot path of
+    the TPU CG solve."""
+    C, d = dofmap.asm_idx.shape
+    cbs, fbs = dofmap.cbs, dofmap.fbs
+
+    def apply_A(x):
+        x_loc = gather_local(dofmap, x)
+        contrib = _einsum("cij,cj->ci", lc, x_loc)            # [C, d]
+        y_cells = contrib[:, :cbs].reshape(C * cbs)
+        contrib_ext = jnp.concatenate(
+            [contrib, jnp.zeros((1, d), dtype=contrib.dtype)])
+        fvals = 0.0
+        for copy in range(2):
+            cells = inc.face_cells[:, copy]                   # [F]
+            base = cbs + inc.face_slot[:, copy] * fbs         # [F]
+            idx = base[:, None] + jnp.arange(fbs)[None, :]    # [F, fbs]
+            fvals = fvals + contrib_ext[cells[:, None], idx]
+        y_faces = fvals[inc.expand].reshape(-1)
+        return jnp.concatenate([y_cells, y_faces])
+
+    return apply_A
 
 
 # ---------------------------------------------------------------------------

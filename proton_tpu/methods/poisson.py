@@ -52,6 +52,46 @@ def assemble_local(mesh, geom, hdi: HHODegreeInfo, stab: str = "hho"):
     return oper, data + s
 
 
+def assemble_local_chunked(mesh, geom, hdi: HHODegreeInfo,
+                           stab: str = "hho", chunk: int = 8192):
+    """Chunked variant of :func:`assemble_local` via ``lax.map`` over cell
+    blocks. The batched kernels materialize [C, Q, B, ...] temporaries
+    whose TPU tile padding (last dims ~10-16 padded to (8,128)) inflates
+    memory ~10x; chunking bounds the padded temp footprint while keeping
+    each block large enough to saturate the MXU."""
+    import dataclasses as _dc
+
+    C = mesh.num_cells
+    if C <= chunk:
+        return assemble_local(mesh, geom, hdi, stab)
+    n_chunks = -(-C // chunk)
+    Cpad = n_chunks * chunk
+
+    def pad(a):
+        if Cpad == C:
+            return a
+        reps = jnp.repeat(a[-1:], Cpad - C, axis=0)
+        return jnp.concatenate([a, reps], axis=0)
+
+    stacked = (
+        pad(mesh.cell_ptids).reshape(n_chunks, chunk, -1),
+        pad(mesh.cell_npts).reshape(n_chunks, chunk),
+        pad(mesh.cell_faces).reshape(n_chunks, chunk, -1),
+        jax.tree.map(lambda a: pad(a).reshape((n_chunks, chunk)
+                                              + a.shape[1:]), geom),
+    )
+
+    def body(xs):
+        cp, cn, cf, g = xs
+        sub = _dc.replace(mesh, cell_ptids=cp, cell_npts=cn, cell_faces=cf)
+        return assemble_local(sub, g, hdi, stab)
+
+    oper, lc = jax.lax.map(body, stacked)
+    oper = oper.reshape((Cpad,) + oper.shape[2:])[:C]
+    lc = lc.reshape((Cpad,) + lc.shape[2:])[:C]
+    return oper, lc
+
+
 def solve_poisson(mesh, dofmap: assembly.DofMap, hdi: HHODegreeInfo,
                   rhs_fun: Callable, bc_fun: Callable, stab: str = "hho",
                   cg_params: cg.CGParams = cg.CGParams(
