@@ -30,12 +30,21 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+try:  # persistent compilation cache: amortize remote AOT compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import proton_tpu as pt  # noqa: E402
 from proton_tpu.cut import classify, levelset  # noqa: E402
 from proton_tpu.cut import methods as cut_methods  # noqa: E402
 from proton_tpu.core.geometry import cell_geometry  # noqa: E402
 from proton_tpu.core.ops import HHODegreeInfo, cell_rhs  # noqa: E402
-from proton_tpu.methods import assembly, hho, poisson  # noqa: E402
+from proton_tpu.methods import assembly, condensation, hho, poisson, \
+    structured  # noqa: E402
 from proton_tpu.solvers import cg  # noqa: E402
 
 
@@ -91,31 +100,28 @@ def main():
     t_assembly = time.perf_counter() - t0
     elements_per_sec = C / t_assembly
 
-    @jax.jit
-    def build_rhs(mesh, lc, f):
-        fd = assembly.dirichlet_face_data(mesh, hdi, sol_fun)
-        g_loc = assembly.local_dirichlet_data(dofmap, mesh, fd)
-        return assembly.assemble_rhs(dofmap, f, lc, g_loc)
-
-    rhs = build_rhs(mesh, lc, f)
-
     cgp = cg.CGParams(convergence_threshold=tol,
                       max_iter=int(os.environ.get("PROTON_BENCH_MAXIT",
                                                   "50000")),
                       apply_preconditioner=True)
 
-    @jax.jit
-    def solve(lc, rhs):
-        apply_A = assembly.make_gather_operator(dofmap, inc, lc)
-        diag = assembly.operator_diagonal(dofmap, lc)
-        res = cg.conjugated_gradient(apply_A, rhs, diag, cgp)
-        return res.x, res.iterations, res.exit_reason, res.rel_residual
+    str_sys = structured.make_structured_system(N, N, dofmap.fbs)
 
-    x, iters, exit_reason, rel = solve(lc, rhs)
-    jax.block_until_ready(x)
+    @jax.jit
+    def solve(mesh, lc, f):
+        """Statically condensed face-grid PCG + cell recovery (gather-free
+        stencil exchange: methods/structured.py)."""
+        fd = assembly.dirichlet_face_data(mesh, hdi, sol_fun)
+        g_loc = assembly.local_dirichlet_data(dofmap, mesh, fd)
+        local, res = structured.solve_condensed_structured(
+            str_sys, lc, f, dofmap.cbs, g_loc, cgp)
+        return local, res.iterations, res.exit_reason, res.rel_residual
+
+    local, iters, exit_reason, rel = solve(mesh, lc, f)
+    jax.block_until_ready(local)
     t0 = time.perf_counter()
-    x, iters, exit_reason, rel = solve(lc, rhs)
-    jax.block_until_ready(x)
+    local, iters, exit_reason, rel = solve(mesh, lc, f)
+    jax.block_until_ready(local)
     t_solve = time.perf_counter() - t0
 
     end_to_end = t_setup + t_assembly + t_solve
@@ -131,6 +137,7 @@ def main():
         "cells": int(C),
         "cut_cells": int(len(cut_ids)),
         "dofs": int(dofmap.n_dofs),
+        "condensed_dofs": int(condensation.face_dof_view(dofmap)[1]),
         "setup_s": round(t_setup, 3),
         "assembly_s": round(t_assembly, 4),
         "solve_s": round(t_solve, 3),

@@ -142,14 +142,33 @@ def _cell_edges(cell_ptids: np.ndarray, cell_npts: np.ndarray):
 
 def _build_topology(points: np.ndarray, cell_ptids: np.ndarray,
                     cell_npts: np.ndarray, raw_bnd_fn, kind: str) -> Mesh:
-    """Common builder: face extraction, dedup, per-cell face ids."""
+    """Common builder: face extraction, dedup, per-cell face ids. Uses the
+    native C++ topology library (native/topology.cpp) when built, with
+    this NumPy implementation as the reference fallback."""
+    from .. import native_bindings
+
     C, Pmax = cell_ptids.shape
     p0, p1, valid = _cell_edges(cell_ptids, cell_npts)
     lo = np.minimum(p0, p1)
     hi = np.maximum(p0, p1)
-    raw = np.stack([lo.ravel(), hi.ravel()], axis=1)
+    raw_bnd2d = raw_bnd_fn(lo, hi, valid).astype(np.int8)
 
-    raw_bnd = raw_bnd_fn(lo, hi, valid).ravel().astype(np.int8)
+    if native_bindings.available():
+        uniq, bnd, face_of_edge, _, _ = native_bindings.build_topology(
+            cell_ptids, cell_npts, raw_bnd2d)
+        rdt = np_real_dtype()
+        return Mesh(
+            points=jnp.asarray(points.astype(rdt)),
+            cell_ptids=jnp.asarray(cell_ptids.astype(np.int32)),
+            cell_npts=jnp.asarray(cell_npts.astype(np.int32)),
+            cell_faces=jnp.asarray(face_of_edge.astype(np.int32)),
+            face_ptids=jnp.asarray(uniq.astype(np.int32)),
+            face_bnd=jnp.asarray(bnd),
+            kind=kind,
+        )
+
+    raw = np.stack([lo.ravel(), hi.ravel()], axis=1)
+    raw_bnd = raw_bnd2d.ravel()
     # degenerate padded edges (lo == hi) must not be emitted as faces: they
     # are filtered by uniquing only valid edges, padding cell_faces after.
     valid_flat = valid.ravel()

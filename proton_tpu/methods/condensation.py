@@ -1,0 +1,156 @@
+"""Static condensation: exact Schur-complement elimination of cell
+unknowns onto the face skeleton.
+
+The reference solves the full (cell + face) system; condensing the cell
+blocks — which are block-diagonal across cells — is the standard HHO
+solver optimization and is *exact*: the condensed solution reproduces the
+full system's face values, and cell values are recovered per cell by one
+batched small solve. On TPU this shrinks the CG system by ~3.5x (k=1) and
+improves its conditioning, while the elimination itself is one batched
+Cholesky + two batched GEMMs (pure MXU work).
+
+    S_loc  = A_FF - A_FT A_TT^-1 A_TF          [C, nfd, nfd]
+    bF_loc = fF  - A_FT A_TT^-1 f_T            [C, nfd]
+    u_T    = A_TT^-1 (f_T - A_TF u_F)          (recovery)
+
+Dirichlet data folds into the *condensed* system with the same local
+mechanism as the full assembler (hho.hpp:396-402), which is equivalent by
+exactness of the elimination.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MATMUL_PRECISION
+from .assembly import DofMap, FaceIncidence
+from ..solvers import cg
+
+
+def _einsum(*args):
+    return jnp.einsum(*args, precision=MATMUL_PRECISION)
+
+
+class CondensedSystem(NamedTuple):
+    S: jnp.ndarray          # [C, nfd, nfd] condensed local matrices
+    bF: jnp.ndarray         # [C, nfd] condensed local loads
+    ATT_chol: jnp.ndarray   # [C, cbs, cbs] Cholesky of the cell blocks
+    ATF: jnp.ndarray        # [C, cbs, nfd]
+    fT: jnp.ndarray         # [C, cbs]
+
+
+def condense(lc, f_cells, cbs: int) -> CondensedSystem:
+    """Eliminate the first cbs local dofs of every cell. f_cells [C, cbs]
+    (face loads are zero in all reference problems; extend bF if needed)."""
+    ATT = lc[:, :cbs, :cbs]
+    ATF = lc[:, :cbs, cbs:]
+    AFT = lc[:, cbs:, :cbs]
+    AFF = lc[:, cbs:, cbs:]
+    chol = jnp.linalg.cholesky(ATT)
+    iTT_ATF = jax.scipy.linalg.cho_solve((chol, True), ATF)
+    iTT_fT = jax.scipy.linalg.cho_solve((chol, True), f_cells[..., None])
+    S = AFF - _einsum("cik,ckj->cij", AFT, iTT_ATF)
+    bF = -_einsum("cik,ck->ci", AFT, iTT_fT[..., 0])
+    return CondensedSystem(S, bF, chol, ATF, f_cells)
+
+
+def face_dof_view(dofmap: DofMap):
+    """Index map of the face-only system: asm_idx restricted to face slots,
+    rebased to [0, n_face_dofs); sentinel preserved."""
+    cbs = dofmap.cbs
+    cell_dofs = dofmap.n_cells * cbs
+    n_face_dofs = dofmap.n_dofs - cell_dofs
+    idx = dofmap.asm_idx[:, cbs:]
+    idx = jnp.where(idx >= dofmap.n_dofs, n_face_dofs, idx - cell_dofs)
+    return idx, n_face_dofs
+
+
+def make_condensed_operator(dofmap: DofMap, inc: Optional[FaceIncidence],
+                            S):
+    """Matrix-free S @ x on the face system. With a FaceIncidence, uses
+    the gather-based formulation (TPU hot path); otherwise segment-sum."""
+    idx, n_face_dofs = face_dof_view(dofmap)
+    fbs = dofmap.fbs
+    C, nfd = S.shape[:2]
+
+    if inc is None:
+        def apply_S(x):
+            x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+            xl = x_ext[idx]
+            yl = _einsum("cij,cj->ci", S, xl)
+            y = jax.ops.segment_sum(yl.reshape(-1), idx.reshape(-1),
+                                    num_segments=n_face_dofs + 1)
+            return y[:n_face_dofs]
+        return apply_S
+
+    def apply_S(x):
+        x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+        xl = x_ext[idx]
+        contrib = _einsum("cij,cj->ci", S, xl)
+        contrib_ext = jnp.concatenate(
+            [contrib, jnp.zeros((1, nfd), dtype=contrib.dtype)])
+        fvals = 0.0
+        for copy in range(2):
+            cells = inc.face_cells[:, copy]
+            base = inc.face_slot[:, copy] * fbs
+            gidx = base[:, None] + jnp.arange(fbs)[None, :]
+            fvals = fvals + contrib_ext[cells[:, None], gidx]
+        return fvals[inc.expand].reshape(-1)
+
+    return apply_S
+
+
+def condensed_diagonal(dofmap: DofMap, S):
+    idx, n_face_dofs = face_dof_view(dofmap)
+    dl = jnp.diagonal(S, axis1=1, axis2=2)
+    y = jax.ops.segment_sum(dl.reshape(-1), idx.reshape(-1),
+                            num_segments=n_face_dofs + 1)
+    return y[:n_face_dofs]
+
+
+def condensed_rhs(dofmap: DofMap, sys: CondensedSystem, g_loc=None):
+    """Face-system RHS with Dirichlet folding through the condensed
+    operator (exactly equivalent to folding before elimination)."""
+    idx, n_face_dofs = face_dof_view(dofmap)
+    loads = sys.bF
+    if g_loc is not None:
+        gF = g_loc[:, dofmap.cbs:]
+        loads = loads - _einsum("cij,cj->ci", sys.S, gF)
+    y = jax.ops.segment_sum(loads.reshape(-1), idx.reshape(-1),
+                            num_segments=n_face_dofs + 1)
+    return y[:n_face_dofs]
+
+
+def recover_local(dofmap: DofMap, sys: CondensedSystem, x_faces,
+                  g_loc=None):
+    """Per-cell [C, d] local solutions from the face solve: gather face
+    dofs (+ Dirichlet data) then back-substitute the cell block."""
+    idx, n_face_dofs = face_dof_view(dofmap)
+    x_ext = jnp.concatenate([x_faces, jnp.zeros((1,), x_faces.dtype)])
+    uF = x_ext[idx]
+    if g_loc is not None:
+        uF = uF + g_loc[:, dofmap.cbs:]
+    rhs_T = sys.fT - _einsum("cij,cj->ci", sys.ATF, uF)
+    uT = jax.scipy.linalg.cho_solve((sys.ATT_chol, True),
+                                    rhs_T[..., None])[..., 0]
+    return jnp.concatenate([uT, uF], axis=1)
+
+
+def solve_condensed(dofmap: DofMap, lc, f_cells, g_loc=None,
+                    inc: Optional[FaceIncidence] = None,
+                    cg_params: cg.CGParams = cg.CGParams(
+                        convergence_threshold=1e-12, max_iter=200000,
+                        apply_preconditioner=True)):
+    """Condense, CG-solve the face system, recover cells. Returns
+    (local [C, d], CGResult)."""
+    sys = condense(lc, f_cells, dofmap.cbs)
+    rhs = condensed_rhs(dofmap, sys, g_loc)
+    apply_S = make_condensed_operator(dofmap, inc, sys.S)
+    diag = condensed_diagonal(dofmap, sys.S)
+    res = cg.conjugated_gradient(apply_S, rhs, diag, cg_params)
+    local = recover_local(dofmap, sys, res.x, g_loc)
+    return local, res

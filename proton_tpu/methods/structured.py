@@ -1,0 +1,150 @@
+"""Gather-free condensed solver for structured (generated) meshes.
+
+On TPU, random gathers dominate the CG iteration (~8 ns/element — measured
+7.3 ms of a 12 ms iteration at 256^2). For the structured quad grids the
+generators produce, the cell->face incidence is a fixed stencil, so the
+face unknowns can be *renumbered as grids*:
+
+    H [Ny+1, Nx, fbs]   horizontal faces (bottom/top of cells)
+    V [Ny, Nx+1, fbs]   vertical faces   (left/right of cells)
+
+and the gather/scatter of the matrix-free Schur operator becomes pure
+slicing and padding — stencil data movement XLA compiles to cheap shifts.
+Dirichlet faces stay in the grids but are frozen (rows/cols masked, unit
+diagonal), which keeps every array rectangular.
+
+Cell local edge order is (bottom, right, top, left), matching the
+generator (basic_mesh.hpp:263-284): slot0 = H[j,i], slot1 = V[j,i+1],
+slot2 = H[j+1,i], slot3 = V[j,i].
+
+The solution is identical to the generic condensed path (tests assert it);
+only the unknown ordering differs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MATMUL_PRECISION
+from ..solvers import cg
+from .condensation import CondensedSystem, condense
+
+
+def _einsum(*args):
+    return jnp.einsum(*args, precision=MATMUL_PRECISION)
+
+
+class GridVec(NamedTuple):
+    """Face-grid unknown layout (a pytree CG iterates over)."""
+
+    H: jnp.ndarray   # [Ny+1, Nx, fbs]
+    V: jnp.ndarray   # [Ny, Nx+1, fbs]
+
+
+class StructuredFaceSystem(NamedTuple):
+    Nx: int
+    Ny: int
+    fbs: int
+    freeH: jnp.ndarray   # [Ny+1, Nx] bool (False on Dirichlet faces)
+    freeV: jnp.ndarray   # [Ny, Nx+1] bool
+
+
+def make_structured_system(Nx: int, Ny: int, fbs: int,
+                           dtype=jnp.float32) -> StructuredFaceSystem:
+    """Boundary faces of the generated box mesh are Dirichlet
+    (basic_mesh.hpp:293-297): first/last H rows and V columns."""
+    freeH = jnp.ones((Ny + 1, Nx), dtype=bool)
+    freeH = freeH.at[0, :].set(False).at[Ny, :].set(False)
+    freeV = jnp.ones((Ny, Nx + 1), dtype=bool)
+    freeV = freeV.at[:, 0].set(False).at[:, Nx].set(False)
+    return StructuredFaceSystem(Nx, Ny, fbs, freeH, freeV)
+
+
+def grid_gather(sys: StructuredFaceSystem, x: GridVec):
+    """Local face vectors [C, 4*fbs] from the grids, by slicing."""
+    Nx, Ny, fbs = sys.Nx, sys.Ny, sys.fbs
+    bottom = x.H[:-1, :, :]
+    top = x.H[1:, :, :]
+    left = x.V[:, :-1, :]
+    right = x.V[:, 1:, :]
+    loc = jnp.stack([bottom, right, top, left], axis=2)  # [Ny, Nx, 4, fbs]
+    return loc.reshape(Ny * Nx, 4 * fbs)
+
+
+def grid_scatter(sys: StructuredFaceSystem, contrib):
+    """Transpose of grid_gather: accumulate [C, 4*fbs] cell contributions
+    into the face grids via padded adds."""
+    Nx, Ny, fbs = sys.Nx, sys.Ny, sys.fbs
+    c = contrib.reshape(Ny, Nx, 4, fbs)
+    zH = jnp.zeros((1, Nx, fbs), dtype=contrib.dtype)
+    H = jnp.concatenate([c[:, :, 0, :], zH], axis=0) + \
+        jnp.concatenate([zH, c[:, :, 2, :]], axis=0)
+    zV = jnp.zeros((Ny, 1, fbs), dtype=contrib.dtype)
+    V = jnp.concatenate([c[:, :, 3, :], zV], axis=1) + \
+        jnp.concatenate([zV, c[:, :, 1, :]], axis=1)
+    return GridVec(H, V)
+
+
+def _mask(sys: StructuredFaceSystem, x: GridVec) -> GridVec:
+    return GridVec(x.H * sys.freeH[..., None], x.V * sys.freeV[..., None])
+
+
+def make_structured_operator(sys: StructuredFaceSystem, S):
+    """Matrix-free Schur operator on the face grids: slice-gather, batched
+    GEMM, shift-scatter; frozen (Dirichlet) faces act as identity."""
+
+    def apply_S(x: GridVec) -> GridVec:
+        xm = _mask(sys, x)
+        xl = grid_gather(sys, xm)
+        contrib = _einsum("cij,cj->ci", S, xl)
+        y = grid_scatter(sys, contrib)
+        y = _mask(sys, y)
+        # identity on frozen faces keeps the system SPD on the full grids
+        return GridVec(y.H + x.H * (~sys.freeH[..., None]),
+                       y.V + x.V * (~sys.freeV[..., None]))
+
+    return apply_S
+
+
+def structured_diagonal(sys: StructuredFaceSystem, S) -> GridVec:
+    dl = jnp.diagonal(S, axis1=1, axis2=2)       # [C, 4*fbs]
+    d = grid_scatter(sys, dl)
+    return GridVec(jnp.where(sys.freeH[..., None], d.H, 1.0),
+                   jnp.where(sys.freeV[..., None], d.V, 1.0))
+
+
+def structured_rhs(sys: StructuredFaceSystem, cond: CondensedSystem,
+                   g_loc=None, cbs: int = None) -> GridVec:
+    loads = cond.bF
+    if g_loc is not None:
+        gF = g_loc[:, cbs:]
+        loads = loads - _einsum("cij,cj->ci", cond.S, gF)
+    return _mask(sys, grid_scatter(sys, loads))
+
+
+def solve_condensed_structured(sys: StructuredFaceSystem, lc, f_cells,
+                               cbs: int, g_loc=None,
+                               cg_params: cg.CGParams = cg.CGParams(
+                                   convergence_threshold=1e-6,
+                                   max_iter=50000,
+                                   apply_preconditioner=True)
+                               ) -> Tuple[jnp.ndarray, cg.CGResult]:
+    """Condense + grid-layout PCG + recovery; returns (local [C, d],
+    CGResult). Identical solution to condensation.solve_condensed."""
+    cond = condense(lc, f_cells, cbs)
+    rhs = structured_rhs(sys, cond, g_loc, cbs)
+    apply_S = make_structured_operator(sys, cond.S)
+    diag = structured_diagonal(sys, cond.S)
+    res = cg.conjugated_gradient(apply_S, rhs, diag, cg_params)
+
+    uF = grid_gather(sys, _mask(sys, res.x))
+    if g_loc is not None:
+        uF = uF + g_loc[:, cbs:]
+    rhs_T = cond.fT - _einsum("cij,cj->ci", cond.ATF, uF)
+    uT = jax.scipy.linalg.cho_solve((cond.ATT_chol, True),
+                                    rhs_T[..., None])[..., 0]
+    local = jnp.concatenate([uT, uF], axis=1)
+    return local, res

@@ -49,27 +49,42 @@ class CGResult(NamedTuple):
     history: Optional[jnp.ndarray]  # [max_iter+2] of nr/nr0, NaN-padded
 
 
+def _tree_vdot(a, b):
+    parts = jax.tree.leaves(jax.tree.map(
+        lambda x, y: jnp.vdot(x, y), a, b))
+    return sum(parts[1:], parts[0])
+
+
+def _tree_axpy(alpha, x, y):
+    """alpha * x + y over pytrees."""
+    return jax.tree.map(lambda xa, ya: alpha * xa + ya, x, y)
+
+
 def conjugated_gradient(apply_A: Callable, b, diag=None,
                         params: CGParams = CGParams()) -> CGResult:
     """PCG with x0 = 0 (solver_cg.hpp:63-144). ``diag`` is the operator
-    diagonal, required when apply_preconditioner is set."""
-    dtype = b.dtype
-    n = b.shape[0]
+    diagonal, required when apply_preconditioner is set.
+
+    ``b`` (and the operator's domain) may be any pytree of arrays — e.g.
+    the structured-grid face layout of methods/structured.py — not just a
+    flat vector; inner products reduce over all leaves."""
+    leaves = jax.tree.leaves(b)
+    dtype = leaves[0].dtype
     if params.apply_preconditioner:
         if diag is None:
             raise ValueError("Jacobi preconditioning requires diag(A)")
-        inv_diag = 1.0 / diag
+        inv_diag = jax.tree.map(lambda dd: 1.0 / dd, diag)
 
         def precond(r):
-            return inv_diag * r
+            return jax.tree.map(lambda rr, ii: rr * ii, r, inv_diag)
     else:
         def precond(r):
             return r
 
-    x0 = jnp.zeros_like(b)
+    x0 = jax.tree.map(jnp.zeros_like, b)
     r0 = b  # r = b - A*0
     d0 = precond(r0)
-    nr0 = jnp.linalg.norm(r0)
+    nr0 = jnp.sqrt(_tree_vdot(r0, r0))
     hist_len = params.max_iter + 2 if params.record_history else 1
     hist0 = jnp.full((hist_len,), jnp.nan, dtype=dtype)
 
@@ -83,11 +98,11 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
             hist = hist.at[jnp.minimum(it, hist_len - 1)].set(nr / nr0)
         y = apply_A(d)
         iMr = precond(r)
-        rho = jnp.vdot(r, iMr)
-        alpha = rho / jnp.vdot(d, y)
-        x = x + alpha * d
-        r = r - alpha * y
-        nr = jnp.linalg.norm(r)
+        rho = _tree_vdot(r, iMr)
+        alpha = rho / _tree_vdot(d, y)
+        x = _tree_axpy(alpha, d, x)
+        r = _tree_axpy(-alpha, y, r)
+        nr = jnp.sqrt(_tree_vdot(r, r))
         rel = nr / nr0
         exit_code = jnp.where(
             rel < params.convergence_threshold, CONVERGED,
@@ -95,8 +110,8 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
                       jnp.where(rel > params.divergence_threshold,
                                 DIVERGED, -1))).astype(jnp.int32)
         iMr = precond(r)
-        beta = jnp.vdot(r, iMr) / rho
-        d = iMr + beta * d
+        beta = _tree_vdot(r, iMr) / rho
+        d = _tree_axpy(beta, d, iMr)
         return (x, r, d, nr, it + 1, exit_code, hist)
 
     state0 = (x0, r0, d0, nr0, jnp.int32(0), jnp.int32(-1), hist0)
