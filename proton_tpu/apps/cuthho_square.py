@@ -97,6 +97,23 @@ def main(argv=None):
                           f"({int(res.iterations)} CG iterations)")))
         print(bold(green("Energy-norm absolute error:           "
                          f"{float(res.h1_error)}")))
+
+        if args.d:
+            # point-cloud postprocess outputs (fictdom_uT.dat etc.,
+            # cuthho_square.cpp:939-942, 1066-1070)
+            from proton_tpu.io.gnuplot import GnuplotOutput, \
+                PostprocessOutput
+            pts, uT, Ru, diff = fictdom.fictdom_fields(
+                mesh, cutdata, ls, args.k, res, sol_fun)
+            post = PostprocessOutput()
+            for name, vals in (("fictdom_uT.dat", uT),
+                               ("fictdom_Ru.dat", Ru),
+                               ("fictdom_diff.dat", diff)):
+                gp = GnuplotOutput(name)
+                gp.add_data(pts, vals)
+                post.add_object(gp)
+            post.write()
+            print("wrote fictdom_{uT,Ru,diff}.dat")
     return 0
 
 

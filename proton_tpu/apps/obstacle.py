@@ -20,13 +20,34 @@ def main(argv=None):
     ap.add_argument("-N", type=int, default=5, help="cells per direction")
     ap.add_argument("--dump", action="store_true",
                     help="write VTK field dumps")
+    ap.add_argument("--dump-iterations", action="store_true",
+                    help="write obstacle_cycle_<i>.vtk per active-set "
+                         "iteration (the reference's per-cycle SILO dumps)")
     args = ap.parse_args(argv)
 
     from proton_tpu.methods import obstacle
     from proton_tpu.utils.timing import TimeCounter, bold, green, magenta
 
+    callback = None
+    if args.dump_iterations:
+        import proton_tpu as pt
+        from proton_tpu.core.mesh import MeshInitParams
+        from proton_tpu.io.vtk import VtkWriter
+        dump_mesh = pt.make_quad_mesh(MeshInitParams(
+            min_x=-1.0, min_y=-1.0, Nx=args.N, Ny=args.N))
+
+        def callback(i, fields):
+            w = VtkWriter(dump_mesh)
+            w.add_variable("alpha", np.asarray(fields["alpha"]), "zonal")
+            w.add_variable("beta", np.asarray(fields["beta"]), "zonal")
+            w.add_variable("active",
+                           np.asarray(fields["active"], dtype=float),
+                           "zonal")
+            w.write_vtk(f"obstacle_cycle_{i - 1}.vtk")
+
     tc = TimeCounter().tic()
-    res = obstacle.run_obstacle(args.N, args.k)
+    res = obstacle.run_obstacle(args.N, args.k,
+                                iteration_callback=callback)
     tc.toc(res.alpha)
     print(green(f"Active-set solve ({int(res.iterations)} iterations): ")
           + bold(f"{tc} seconds"))

@@ -47,6 +47,7 @@ class FictdomResult(NamedTuple):
     iterations: jnp.ndarray
     exit_reason: jnp.ndarray
     min_eigs: Optional[jnp.ndarray]   # [Cc] coercivity diagnostic
+    oper_cut: Optional[jnp.ndarray] = None  # [Cc, rbs, d] cut reconstruction
 
 
 def assemble_fictdom_local(mesh, geom, batch: CutCellBatch, ls: LevelSet,
@@ -119,7 +120,7 @@ def solve_fictdom(mesh, cutdata: CutData, ls: LevelSet, degree: int,
         eigs = jnp.min(cut_methods.check_eigs(batch, ls, hdi, side), axis=1)
 
     return FictdomResult(res.x, local, h1, res.iterations, res.exit_reason,
-                         eigs)
+                         eigs, oper_cut)
 
 
 def fictdom_h1_error(mesh, geom, batch: CutCellBatch, cutdata: CutData,
@@ -153,6 +154,49 @@ def fictdom_h1_error(mesh, geom, batch: CutCellBatch, cutdata: CutData,
     cge = sol_grad(crule.pts)
     err = err + jnp.sum(crule.w * jnp.sum((cge - cgh) ** 2, axis=-1))
     return jnp.sqrt(err)
+
+
+def fictdom_fields(mesh, cutdata: CutData, ls: LevelSet, degree: int,
+                   result: FictdomResult, sol_fun,
+                   plot_degree: int = 5):
+    """Point-cloud fields of the fictdom postprocess
+    (cuthho_square.cpp:1010-1029): uT (cell polynomial), Ru (potential
+    reconstruction) and the relative difference vs the exact solution, at
+    a degree-``plot_degree`` quadrature rule of every cell.
+
+    Returns (pts [C, Q, 2], uT [C, Q], Ru [C, Q], diff [C, Q]).
+    """
+    hdi = HHODegreeInfo(degree + 1, degree)
+    geom = cell_geometry(mesh)
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    rbs = bases.cell_basis_size(hdi.reconstruction_degree)
+    side = LOC_NEG
+
+    rule = quadrature.cell_rule(mesh, geom, plot_degree)
+    rphi = bases.eval_cell_basis(rule.pts, geom.bar[:, None, :],
+                                 geom.diam[:, None],
+                                 hdi.reconstruction_degree)
+    cphi = rphi[..., :cbs]
+    uT = _einsum("cqi,ci->cq", cphi, result.local[:, :cbs])
+
+    # reconstruction dofs: fitted (rbs-1, constant from cell dof 0) for
+    # uncut cells, full-rbs Nitsche operator for cut cells
+    # (cuthho_square.cpp:970-976, 1019-1024)
+    oper_fit, _ = hho.hho_laplacian(mesh, geom, hdi)
+    rec_fit = _einsum("crd,cd->cr", oper_fit, result.local)
+    Ru = _einsum("cqr,cr->cq", rphi[..., 1:], rec_fit) + \
+        result.local[:, :1]
+
+    cut_ids = np.nonzero(np.asarray(cutdata.cell_loc) == LOC_CUT)[0]
+    if len(cut_ids) and result.oper_cut is not None:
+        rec_cut = _einsum("crd,cd->cr", result.oper_cut,
+                          result.local[cut_ids])
+        Ru_cut = _einsum("cqr,cr->cq", rphi[cut_ids], rec_cut)
+        Ru = Ru.at[cut_ids].set(Ru_cut)
+
+    exact = sol_fun(rule.pts)
+    diff = jnp.abs(Ru - exact) * 100.0 / jnp.where(exact == 0, 1.0, exact)
+    return rule.pts, uT, Ru, diff
 
 
 def run_fictdom(N: int, degree: int, radius: float = 0.35,

@@ -134,6 +134,33 @@ def interface_rule(interface, side_bar, degree: int) -> QuadRule:
     return QuadRule(rule.pts.reshape(Cc, R * n, 2), w.reshape(Cc, R * n))
 
 
+def make_test_points(cell_pts4, phi, side: int, N: int = 10):
+    """Reference-grid sample points of each (quad) cell filtered by side
+    (make_test_points, cuthho_geom.hpp:898-932): an (N+1)^2 grid mapped
+    through the bilinear reference transform, with an on-side mask instead
+    of a filtered list (static shapes).
+
+    cell_pts4 [..., 4, 2] -> (pts [..., (N+1)^2, 2], mask [..., (N+1)^2]).
+    """
+    import numpy as np
+
+    t = np.linspace(-1.0, 1.0, N + 1)
+    XI, ETA = np.meshgrid(t, t)
+    xi = jnp.asarray(XI.ravel().astype(np_real_dtype()))
+    eta = jnp.asarray(ETA.ravel().astype(np_real_dtype()))
+    s0 = 0.25 * (1 - xi) * (1 - eta)
+    s1 = 0.25 * (1 + xi) * (1 - eta)
+    s2 = 0.25 * (1 + xi) * (1 + eta)
+    s3 = 0.25 * (1 - xi) * (1 + eta)
+    p = (cell_pts4[..., 0, None, :] * s0[:, None] +
+         cell_pts4[..., 1, None, :] * s1[:, None] +
+         cell_pts4[..., 2, None, :] * s2[:, None] +
+         cell_pts4[..., 3, None, :] * s3[:, None])
+    v = phi(p)
+    mask = (v < 0) if side == LOC_NEG else (v > 0)
+    return p, mask
+
+
 def side_face_rule(face_pts, face_loc, face_isect, fnode0_loc, fnode1_loc,
                    degree: int, side: int) -> QuadRule:
     """integrate(msh, fc, degree, where) (cuthho_geom.hpp:817-849) batched

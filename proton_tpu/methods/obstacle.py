@@ -68,7 +68,8 @@ def solve_obstacle(mesh, degree: int, rhs_fun: Callable, bcs_fun: Callable,
                    quadrature_degree_increase: int = 1,
                    cg_params: cg.CGParams = cg.CGParams(
                        convergence_threshold=1e-12, max_iter=200000,
-                       apply_preconditioner=True)) -> ObstacleResult:
+                       apply_preconditioner=True),
+                   iteration_callback: Callable = None) -> ObstacleResult:
     """run_hho_obstacle (obstacle.cpp:47-227): hdi = (0, degree) — cell
     degree 0, so cbs == 1 and alpha's cell block is one value per cell."""
     hdi = HHODegreeInfo(0, degree)
@@ -136,8 +137,20 @@ def solve_obstacle(mesh, degree: int, rhs_fun: Callable, bcs_fun: Callable,
     beta0 = jnp.ones((C,))                          # obstacle.cpp:99
     u0 = jnp.zeros((C, dofmap.d))
     state = (alpha0, beta0, u0, jnp.int32(0), jnp.asarray(jnp.inf))
-    alpha_cells, beta, u_loc, iters, delta = jax.lax.while_loop(
-        cond, body, state)
+    if iteration_callback is None:
+        alpha_cells, beta, u_loc, iters, delta = jax.lax.while_loop(
+            cond, body, state)
+    else:
+        # observable outer loop (per-iteration SILO dumps of the
+        # reference, obstacle.cpp:123-188): same body, Python-driven
+        jit_body = jax.jit(body)
+        while bool(cond(state)):
+            state = jit_body(state)
+            alpha_cells, beta, u_loc, iters, delta = state
+            iteration_callback(int(iters), {
+                "alpha": alpha_cells, "beta": beta,
+                "active": beta != 0, "delta": float(delta)})
+        alpha_cells, beta, u_loc, iters, delta = state
 
     # expanded alpha in the reference layout: cells then ALL faces (with
     # Dirichlet projections in the Dirichlet slots, hho.hpp:725-743)

@@ -75,9 +75,11 @@ def grid_gather(sys: StructuredFaceSystem, x: GridVec):
 
 
 def grid_scatter(sys: StructuredFaceSystem, contrib):
-    """Transpose of grid_gather: accumulate [C, 4*fbs] cell contributions
-    into the face grids via padded adds."""
-    Nx, Ny, fbs = sys.Nx, sys.Ny, sys.fbs
+    """Transpose of grid_gather: accumulate [C, 4*B] cell contributions
+    into the face grids via padded adds (B = fbs for values, fbs*fbs for
+    the block-Jacobi blocks)."""
+    Nx, Ny = sys.Nx, sys.Ny
+    fbs = contrib.shape[1] // 4
     c = contrib.reshape(Ny, Nx, 4, fbs)
     zH = jnp.zeros((1, Nx, fbs), dtype=contrib.dtype)
     H = jnp.concatenate([c[:, :, 0, :], zH], axis=0) + \
@@ -114,6 +116,34 @@ def structured_diagonal(sys: StructuredFaceSystem, S) -> GridVec:
     d = grid_scatter(sys, dl)
     return GridVec(jnp.where(sys.freeH[..., None], d.H, 1.0),
                    jnp.where(sys.freeV[..., None], d.V, 1.0))
+
+
+def block_jacobi_preconditioner(sys: StructuredFaceSystem, S):
+    """Per-face block-Jacobi for the condensed system: each face's
+    fbs x fbs diagonal block of S (summed over its <= 2 owning cells) is
+    inverted once; application is a batched tiny matvec in grid layout.
+    Frozen faces get the identity."""
+    Nx, Ny, fbs = sys.Nx, sys.Ny, sys.fbs
+    C = S.shape[0]
+    # extract the 4 diagonal fbs-blocks of each cell's S
+    blocks = S.reshape(C, 4, fbs, 4, fbs)
+    diag_blocks = jnp.stack([blocks[:, s, :, s, :] for s in range(4)],
+                            axis=1)                       # [C, 4, fbs, fbs]
+    acc = grid_scatter(sys, diag_blocks.reshape(C, 4 * fbs * fbs))
+    eye = jnp.eye(fbs, dtype=S.dtype).reshape(1, 1, fbs, fbs)
+    BH = acc.H.reshape(Ny + 1, Nx, fbs, fbs)
+    BV = acc.V.reshape(Ny, Nx + 1, fbs, fbs)
+    BH = jnp.where(sys.freeH[..., None, None], BH, eye)
+    BV = jnp.where(sys.freeV[..., None, None], BV, eye)
+    iH = jnp.linalg.inv(BH)
+    iV = jnp.linalg.inv(BV)
+
+    def precond(r: GridVec) -> GridVec:
+        return GridVec(
+            _einsum("yxij,yxj->yxi", iH, r.H),
+            _einsum("yxij,yxj->yxi", iV, r.V))
+
+    return precond
 
 
 def structured_rhs(sys: StructuredFaceSystem, cond: CondensedSystem,

@@ -61,16 +61,21 @@ def _tree_axpy(alpha, x, y):
 
 
 def conjugated_gradient(apply_A: Callable, b, diag=None,
-                        params: CGParams = CGParams()) -> CGResult:
+                        params: CGParams = CGParams(),
+                        precond: Optional[Callable] = None) -> CGResult:
     """PCG with x0 = 0 (solver_cg.hpp:63-144). ``diag`` is the operator
-    diagonal, required when apply_preconditioner is set.
+    diagonal, required when apply_preconditioner is set; alternatively pass
+    an explicit SPD ``precond`` callable r -> M^-1 r (e.g. the per-face
+    block-Jacobi of methods/structured.py).
 
     ``b`` (and the operator's domain) may be any pytree of arrays — e.g.
     the structured-grid face layout of methods/structured.py — not just a
     flat vector; inner products reduce over all leaves."""
     leaves = jax.tree.leaves(b)
     dtype = leaves[0].dtype
-    if params.apply_preconditioner:
+    if precond is not None:
+        pass
+    elif params.apply_preconditioner:
         if diag is None:
             raise ValueError("Jacobi preconditioning requires diag(A)")
         inv_diag = jax.tree.map(lambda dd: 1.0 / dd, diag)

@@ -91,6 +91,25 @@ def test_poly_loader(tmp_path):
     assert nb == 4
 
 
+@pytest.mark.parametrize("name", ["mesh1.txt", "mesh2.txt", "mesh-dn.txt"])
+def test_loader_on_reference_meshes(name):
+    """Load the reference's shipped polygonal meshes (data files,
+    apps/polymesh/)."""
+    import os
+    path = f"/root/reference/apps/polymesh/{name}"
+    if not os.path.exists(path):
+        pytest.skip("reference mesh data not available")
+    m = pt.load_poly_mesh(path)
+    assert m.num_cells > 0 and m.num_faces > 0
+    g = pt.cell_geometry(m)
+    meas = np.asarray(g.meas)
+    assert (meas > 0).all()
+    assert int((np.asarray(m.face_bnd) == pt.BND_DIRICHLET).sum()) > 0
+    # every cell's faces index into the face table consistently
+    cf = np.asarray(m.cell_faces)
+    assert cf.min() >= 0 and cf.max() < m.num_faces
+
+
 def test_with_points_moves_geometry():
     m = pt.make_quad_mesh(Nx=2, Ny=2)
     m2 = m.with_points(m.points * 2.0)
