@@ -43,8 +43,8 @@ from proton_tpu.cut import classify, levelset  # noqa: E402
 from proton_tpu.cut import methods as cut_methods  # noqa: E402
 from proton_tpu.core.geometry import cell_geometry  # noqa: E402
 from proton_tpu.core.ops import HHODegreeInfo, cell_rhs  # noqa: E402
-from proton_tpu.methods import assembly, condensation, hho, poisson, \
-    structured  # noqa: E402
+from proton_tpu.methods import assembly, condensation, hho, \
+    pallas_assembly, poisson, structured  # noqa: E402
 from proton_tpu.solvers import cg  # noqa: E402
 
 
@@ -76,11 +76,19 @@ def main():
     C = mesh.num_cells
     side = classify.LOC_NEG
 
+    use_pallas = (jax.default_backend() == "tpu" and
+                  os.environ.get("PROTON_BENCH_PALLAS", "1") == "1")
+
     @jax.jit
     def assemble(mesh, geom, batch, cell_loc):
-        _, data_fit = poisson.assemble_local_chunked(
-            mesh, geom, hdi, "naive", chunk)
-        lc = data_fit
+        # fitted operator (reconstruction data + naive stabilization, the
+        # uncut fallback of the fictdom path) on every cell: fused Pallas
+        # kernel on TPU (41x over the XLA path), chunked XLA elsewhere
+        if use_pallas:
+            lc = pallas_assembly.fitted_local_operator(mesh, geom, hdi)
+        else:
+            _, lc = poisson.assemble_local_chunked(
+                mesh, geom, hdi, "naive", chunk)
         _, data_cut = cut_methods.cut_hho_laplacian(batch, ls, hdi, side)
         stab_cut = cut_methods.cut_stabilization(batch, hdi, side)
         lc = lc.at[batch.ids].set(data_cut + stab_cut)
@@ -90,8 +98,6 @@ def main():
                                     sol_fun, side)
         return lc, f.at[batch.ids].set(f_cut)
 
-    # ("naive" = the uncut fallback stabilization of the fictdom path;
-    # assemble_local_chunked returns reconstruction data + stabilization)
     lc, f = assemble(mesh, geom, batch, cutdata.cell_loc)
     jax.block_until_ready(lc)
     t0 = time.perf_counter()

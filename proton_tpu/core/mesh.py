@@ -73,6 +73,8 @@ class Mesh:
     face_ptids: jax.Array
     face_bnd: jax.Array
     kind: str = dataclasses.field(metadata=dict(static=True), default="quad")
+    all_quads: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
 
     @property
     def num_points(self) -> int:
@@ -165,6 +167,7 @@ def _build_topology(points: np.ndarray, cell_ptids: np.ndarray,
             face_ptids=jnp.asarray(uniq.astype(np.int32)),
             face_bnd=jnp.asarray(bnd),
             kind=kind,
+            all_quads=bool((cell_npts == 4).all()),
         )
 
     raw = np.stack([lo.ravel(), hi.ravel()], axis=1)
@@ -193,6 +196,7 @@ def _build_topology(points: np.ndarray, cell_ptids: np.ndarray,
         face_ptids=jnp.asarray(uniq.astype(np.int32)),
         face_bnd=jnp.asarray(bnd),
         kind=kind,
+        all_quads=bool((cell_npts == 4).all()),
     )
 
 

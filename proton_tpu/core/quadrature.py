@@ -187,10 +187,17 @@ def poly_cell_rule(pts, npts, bar, degree: int) -> QuadRule:
 
 def cell_rule(mesh, geom, degree: int) -> QuadRule:
     """integrate(msh, cl, degree) for every cell at once
-    (quadratures.hpp:311-402)."""
+    (quadratures.hpp:311-402).
+
+    Fast path: a "poly" mesh whose cells are all quadrilaterals
+    (``mesh.all_quads``) uses the tensor-GL bilinear-map rule — exact for
+    the same polynomial degrees as the barycenter fan (the bilinear
+    Jacobian raises the per-axis degree by one, which the GL node-count
+    rule already covers) with ~4x fewer points.
+    """
     from .geometry import cell_points
-    if mesh.kind == "quad":
-        return quad_cell_rule(cell_points(mesh), degree)
+    if mesh.kind == "quad" or mesh.all_quads:
+        return quad_cell_rule(cell_points(mesh)[..., :4, :], degree)
     return poly_cell_rule(cell_points(mesh), mesh.cell_npts, geom.bar, degree)
 
 

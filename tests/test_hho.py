@@ -88,12 +88,15 @@ def test_naive_stabilization_annihilates_cell_space(k):
 
 
 def test_quad_poly_agree():
-    """The quad tensor-GL path and poly fan path must produce identical
-    operators on the same (square-cell) mesh."""
+    """The quad tensor-GL path and the poly barycenter-fan path must
+    produce identical operators on the same (square-cell) mesh; the fan
+    path is forced by clearing the all_quads fast-path flag."""
+    import dataclasses
     k = 1
     hdi = pt.HHODegreeInfo(k + 1, k)
     mq = pt.make_quad_mesh(Nx=3, Ny=3)
-    mp = pt.make_poly_mesh(Nx=3, Ny=3)
+    mp = dataclasses.replace(pt.make_poly_mesh(Nx=3, Ny=3),
+                             all_quads=False)
     gq, gp = pt.cell_geometry(mq), pt.cell_geometry(mp)
     oq, dq = hho.hho_laplacian(mq, gq, hdi)
     op_, dp = hho.hho_laplacian(mp, gp, hdi)

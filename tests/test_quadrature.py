@@ -78,8 +78,11 @@ def test_quad_rule_on_distorted_quad():
 
 @pytest.mark.parametrize("deg", [0, 1, 3, 6])
 def test_poly_cell_rule_matches_quad(deg):
+    import dataclasses
     mq = pt.make_quad_mesh(Nx=3, Ny=3)
-    mp = pt.make_poly_mesh(Nx=3, Ny=3)
+    # force the barycenter-fan path (all_quads would take tensor GL)
+    mp = dataclasses.replace(pt.make_poly_mesh(Nx=3, Ny=3),
+                             all_quads=False)
     gq, gp = pt.cell_geometry(mq), pt.cell_geometry(mp)
     rq = quad.cell_rule(mq, gq, deg)
     rp = quad.cell_rule(mp, gp, deg)
