@@ -201,6 +201,19 @@ def cell_rule(mesh, geom, degree: int) -> QuadRule:
     return poly_cell_rule(cell_points(mesh), mesh.cell_npts, geom.bar, degree)
 
 
+def bilinear_ref_to_phys(pts4, ref_pts):
+    """The quad reference transform (reference_transform::ref_to_phys,
+    quadratures.hpp:274-308): map points of [-1,1]^2 through the bilinear
+    map of each cell. pts4 [..., 4, 2], ref_pts [R, 2] -> [..., R, 2]."""
+    xi = ref_pts[..., 0]
+    eta = ref_pts[..., 1]
+    s = jnp.stack([0.25 * (1 - xi) * (1 - eta),
+                   0.25 * (1 + xi) * (1 - eta),
+                   0.25 * (1 + xi) * (1 + eta),
+                   0.25 * (1 - xi) * (1 + eta)], axis=-1)     # [R, 4]
+    return jnp.einsum("rk,...kx->...rx", s, pts4)
+
+
 def face_rule(fp0, fp1, degree: int) -> QuadRule:
     """GL rule on segments (integrate(msh, fc, degree),
     quadratures.hpp:404-432). fp0/fp1: [..., 2] endpoints."""

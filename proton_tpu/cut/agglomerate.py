@@ -1,0 +1,233 @@
+"""Cell agglomeration: actually merge bad-cut cells with neighbors.
+
+The reference only *detects* bad cuts (-A computes agglo sets + neighbor
+info); its merge routine is dead code (agglomerate_cells hardcodes Nx = 0
+and the consuming assembler is #if 0 — SURVEY.md "known bugs"). This
+module completes the feature: every T_KO cell is merged with the
+face-neighbor owning the largest portion of the deficient side, producing
+a polygonal mesh on which the standard cut pipeline (and every solver)
+runs unchanged — the padded SoA design makes merged polygons just rows
+with larger npts.
+
+Algorithm (host-side mesh preprocessing, like all topology work):
+  1. classify (detect_* + detect_cell_agglo_set);
+  2. each KO cell picks its best face-neighbor (largest area of the
+     deficient side, never a cell that is KO of the same side);
+  3. union-find the picks into groups;
+  4. each group's union polygon = boundary edges (edges not shared by two
+     members) walked into a CCW loop;
+  5. rebuild the mesh (boundary codes inherited from the old faces) and
+     repeat until no KO cells remain (merged cells can in rare cases still
+     be badly cut; round >= 2 uses a side-area-fraction criterion since the
+     reference's edge-fraction test is quad-only).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.geometry import cell_geometry, cell_points
+from ..core.mesh import Mesh, _build_topology
+from . import quadrature as cq
+from .classify import (AGGLO_KO_NEG, AGGLO_KO_POS, AGGLO_OK, LOC_CUT,
+                       LOC_NEG, LOC_POS, detect_cell_agglo_set,
+                       detect_cut_cells, detect_cut_faces,
+                       detect_node_position)
+
+
+def _side_measures(mesh, phi):
+    """(neg_area [C], pos_area [C], cell_loc [C]) for neighbor choice."""
+    node_loc = detect_node_position(mesh, phi)
+    fcuts = detect_cut_faces(mesh, phi)
+    ccuts = detect_cut_cells(mesh, phi, fcuts)
+    geom = cell_geometry(mesh)
+    loc = np.asarray(ccuts.loc)
+    meas = np.asarray(geom.meas)
+    neg = np.where(loc == LOC_NEG, meas, 0.0)
+    pos = np.where(loc == LOC_POS, meas, 0.0)
+    ids = np.nonzero(loc == LOC_CUT)[0]
+    if len(ids):
+        from .classify import refine_interface
+        iface = refine_interface(mesh, phi, ccuts, 1)
+        cp = cell_points(mesh)[ids]
+        nl = node_loc[mesh.cell_ptids[ids]]
+        poly_n = cq.triangulation_points(cp, mesh.cell_npts[ids], nl,
+                                         iface[ids], LOC_NEG)
+        sn = np.asarray(cq.side_measure(poly_n))
+        neg[ids] = sn
+        pos[ids] = meas[ids] - sn
+    return neg, pos, loc, node_loc, fcuts, ccuts
+
+
+def _face_neighbors(mesh):
+    """[C] list of face-sharing neighbor lists (via the incidence
+    transpose)."""
+    from ..methods.assembly import build_face_incidence, build_dofmap
+    from ..core.ops import HHODegreeInfo
+
+    dm = build_dofmap(mesh, HHODegreeInfo(0, 0))
+    inc = build_face_incidence(mesh, dm)
+    fc = np.asarray(inc.face_cells)
+    C = mesh.num_cells
+    nbrs = [[] for _ in range(C)]
+    for a, b in fc:
+        if a < C and b < C:
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+    return nbrs
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.p = list(range(n))
+
+    def find(self, a):
+        while self.p[a] != a:
+            self.p[a] = self.p[self.p[a]]
+            a = self.p[a]
+        return a
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[ra] = rb
+
+
+def _walk_boundary(edges):
+    """Order a set of undirected boundary edges into a closed loop of
+    point ids. edges: list of (a, b) pairs."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for p, lst in adj.items():
+        if len(lst) != 2:
+            raise RuntimeError("non-manifold agglomeration boundary")
+    start = min(adj)
+    loop = [start]
+    prev, cur = None, start
+    while True:
+        nxts = adj[cur]
+        nxt = nxts[0] if nxts[0] != prev else nxts[1]
+        if nxt == start:
+            break
+        loop.append(nxt)
+        prev, cur = cur, nxt
+    return loop
+
+
+def _merge_round(mesh, phi, use_reference_classifier: bool):
+    neg, pos, loc, node_loc, fcuts, ccuts = _side_measures(mesh, phi)
+    C = mesh.num_cells
+    geom = cell_geometry(mesh)
+    meas = np.asarray(geom.meas)
+
+    if use_reference_classifier and mesh.max_pts == 4:
+        agglo = np.asarray(detect_cell_agglo_set(mesh, phi, fcuts,
+                                                 node_loc, ccuts.loc))
+    else:
+        # generic side-area criterion for polygonal rounds
+        frac_neg = np.where(loc == LOC_CUT, neg / meas, 1.0)
+        frac_pos = np.where(loc == LOC_CUT, pos / meas, 1.0)
+        thr = 0.09  # ~ the reference's 0.3 edge fraction, squared
+        agglo = np.where(loc != LOC_CUT, 0,
+                         np.where(frac_neg < thr, AGGLO_KO_NEG,
+                                  np.where(frac_pos < thr, AGGLO_KO_POS,
+                                           AGGLO_OK)))
+
+    ko = np.isin(agglo, (AGGLO_KO_NEG, AGGLO_KO_POS))
+    if not ko.any():
+        return mesh, 0
+
+    nbrs = _face_neighbors(mesh)
+    uf = _UnionFind(C)
+    for c in np.nonzero(ko)[0]:
+        deficient = neg if agglo[c] == AGGLO_KO_NEG else pos
+        best, best_m = -1, -1.0
+        for n in nbrs[c]:
+            if agglo[n] == agglo[c]:
+                continue  # same-side-deficient partner doesn't help
+            if deficient[n] > best_m:
+                best, best_m = n, deficient[n]
+        if best < 0:
+            best = max(nbrs[c], key=lambda n: deficient[n])
+        uf.union(c, best)
+
+    groups = {}
+    for c in range(C):
+        r = uf.find(c)
+        groups.setdefault(r, []).append(c)
+
+    cp = np.asarray(mesh.cell_ptids)
+    npts = np.asarray(mesh.cell_npts)
+    points = np.asarray(mesh.points)
+
+    new_cells = []
+    merged = 0
+    for members in groups.values():
+        if len(members) == 1:
+            c = members[0]
+            new_cells.append(list(cp[c, :npts[c]]))
+            continue
+        merged += 1
+        edge_count = {}
+        for c in members:
+            ids = cp[c, :npts[c]]
+            for k in range(len(ids)):
+                a, b = int(ids[k]), int(ids[(k + 1) % len(ids)])
+                key = (min(a, b), max(a, b))
+                edge_count[key] = edge_count.get(key, 0) + 1
+        boundary = [e for e, n in edge_count.items() if n == 1]
+        loop = _walk_boundary(boundary)
+        # CCW orientation via the shoelace sign
+        pts = points[loop]
+        area2 = np.sum(pts[:, 0] * np.roll(pts[:, 1], -1) -
+                       np.roll(pts[:, 0], -1) * pts[:, 1])
+        if area2 < 0:
+            loop = loop[::-1]
+        new_cells.append(loop)
+
+    # rebuild the mesh; boundary codes inherited from the old face table
+    old_bnd = {}
+    fp = np.asarray(mesh.face_ptids)
+    fb = np.asarray(mesh.face_bnd)
+    for (a, b), code in zip(fp, fb):
+        old_bnd[(int(a), int(b))] = int(code)
+
+    new_cells.sort()
+    n_new = len(new_cells)
+    Pmax = max(len(c) for c in new_cells)
+    cell_ptids = np.zeros((n_new, Pmax), dtype=np.int64)
+    cell_npts = np.array([len(c) for c in new_cells], dtype=np.int64)
+    for i, c in enumerate(new_cells):
+        cell_ptids[i, :len(c)] = c
+        cell_ptids[i, len(c):] = c[-1]
+
+    def raw_bnd(lo, hi, valid):
+        out = np.zeros_like(lo)
+        for idx in np.ndindex(lo.shape):
+            if valid[idx]:
+                out[idx] = old_bnd.get((int(lo[idx]), int(hi[idx])), 0)
+        return out
+
+    new_mesh = _build_topology(points, cell_ptids, cell_npts, raw_bnd,
+                               "poly")
+    return new_mesh, merged
+
+
+def agglomerate(mesh, phi, max_rounds: int = 3) -> Tuple[Mesh, int]:
+    """Merge all badly-cut cells; returns (mesh', total merges). The
+    result feeds cut_preprocess(..., agglomeration=True) / the fictdom and
+    interface drivers like any polygonal mesh."""
+    total = 0
+    for rnd in range(max_rounds):
+        mesh, merged = _merge_round(mesh, phi,
+                                    use_reference_classifier=(rnd == 0))
+        total += merged
+        if merged == 0:
+            break
+    return mesh, total

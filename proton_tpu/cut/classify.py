@@ -349,7 +349,8 @@ def refine_interface(mesh, phi, cells: CellCuts, levels: int):
     return iface
 
 
-def _preprocess_core(mesh, phi, levels: int, agglomeration: bool):
+def _preprocess_core(mesh, phi, levels: int, agglomeration: bool,
+                     displacement: bool = True):
     """Pure device pipeline; jitted by cut_preprocess. Returns
     (points', CutData, concave_any, n_bad_cells)."""
     node_loc = detect_node_position(mesh, phi)
@@ -361,6 +362,9 @@ def _preprocess_core(mesh, phi, levels: int, agglomeration: bool):
     if agglomeration:
         ccuts = detect_cut_cells(mesh, phi, fcuts)
         agglo = detect_cell_agglo_set(mesh, phi, fcuts, node_loc, ccuts.loc)
+    elif not displacement:
+        # plain classification (used on already-agglomerated meshes)
+        ccuts = detect_cut_cells(mesh, phi, fcuts)
     else:
         mv = move_nodes(mesh, fcuts)
         concave_any = jnp.any(mv.concave)
@@ -384,7 +388,8 @@ def _preprocess_core(mesh, phi, levels: int, agglomeration: bool):
     return mesh.points, cutdata, concave_any, n_bad
 
 
-def cut_preprocess(mesh, phi, levels: int = 4, agglomeration: bool = False):
+def cut_preprocess(mesh, phi, levels: int = 4, agglomeration: bool = False,
+                   displacement: bool = True):
     """The full level-set mesh preprocessing pipeline of the reference main
     (cuthho_square.cpp:2035-2052), jit-compiled end to end:
 
@@ -399,7 +404,8 @@ def cut_preprocess(mesh, phi, levels: int = 4, agglomeration: bool = False):
     cuthho_geom.hpp:335-336 and :538-540).
     """
     core = jax.jit(partial(_preprocess_core, phi=phi, levels=levels,
-                           agglomeration=agglomeration))
+                           agglomeration=agglomeration,
+                           displacement=displacement))
     points, cutdata, concave_any, n_bad = core(mesh)
     if bool(concave_any):
         raise RuntimeError("concave poly generated by node displacement")

@@ -39,6 +39,8 @@ class CGParams:
     max_iter: int = 1000
     apply_preconditioner: bool = False
     record_history: bool = False
+    verbose: bool = False   # progress line every 100 iterations
+    #                         (solver_cg.hpp:96-100), via jax.debug.print
 
 
 class CGResult(NamedTuple):
@@ -101,6 +103,12 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
         x, r, d, nr, it, _, hist = state
         if params.record_history:
             hist = hist.at[jnp.minimum(it, hist_len - 1)].set(nr / nr0)
+        if params.verbose:
+            jax.lax.cond(
+                it % 100 == 0,
+                lambda: jax.debug.print(" -> Iteration {i}, rr = {rr}",
+                                        i=it, rr=nr / nr0),
+                lambda: None)
         y = apply_A(d)
         iMr = precond(r)
         rho = _tree_vdot(r, iMr)
