@@ -20,13 +20,19 @@ import jax.numpy as jnp
 from ..config import MATMUL_PRECISION
 from ..core import bases
 from ..core.geometry import CellGeom
-from ..core.ops import HHODegreeInfo, cho_solve_batched, _face_basis_data
+from ..core.ops import HHODegreeInfo, cho_solve_batched, \
+    equilibrated_cho_solve, _face_basis_data
 from .classify import CutData, LOC_CUT, LOC_NEG, LOC_POS
 from .levelset import LevelSet
 from .quadrature import SidePolygon, interface_rule, side_cell_rule, \
     side_face_rule, triangulation_points
 
-CELL_ETA = 5.0  # Nitsche penalty (cell_eta, cuthho_square.cpp:301-306)
+# Nitsche penalty (cell_eta, cuthho_square.cpp:301-306). NOTE: a fixed
+# eta = 5 loses coercivity on sliver cuts at reconstruction degree >= 3
+# (observed: one indefinite cell at k=2, 64^2 — also true of the
+# reference, which only ever runs low degrees); callers should scale
+# eta ~ (k+1)^2 for higher degrees (see bench.py).
+CELL_ETA = 5.0
 
 
 def _einsum(*args):
@@ -129,7 +135,8 @@ def _interface_evals(batch, poly, ls: LevelSet, degree, quad_degree):
 
 
 def cut_hho_laplacian(batch: CutCellBatch, ls: LevelSet,
-                      hdi: HHODegreeInfo, side: int
+                      hdi: HHODegreeInfo, side: int,
+                      eta: float = CELL_ETA
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nitsche fictitious-domain reconstruction on cut cells
     (make_hho_laplacian cut overload, cuthho_square.cpp:308-388).
@@ -160,7 +167,7 @@ def cut_hho_laplacian(batch: CutCellBatch, ls: LevelSet,
     A = _einsum("cq,cqi,cqj->cij", irule.w, iphi, dn)
     M = _einsum("cq,cqi,cqj->cij", irule.w, iphi, iphi)
     stiff = stiff - A - jnp.swapaxes(A, 1, 2) \
-        + M * (CELL_ETA / hT)[:, None, None]
+        + M * (eta / hT)[:, None, None]
 
     # face couplings at 2*recdeg quadrature, full-rbs gradients
     # (cuthho_square.cpp:366-383 — unlike the fitted kernel, the constant
@@ -177,7 +184,20 @@ def cut_hho_laplacian(batch: CutCellBatch, ls: LevelSet,
          jnp.moveaxis(face_blocks, 1, 2).reshape(Cc, rbs, nF * fbs)],
         axis=2)
 
-    oper = cho_solve_batched(stiff, gr_rhs)     # LLT (:385)
+    # LLT in the reference (:385); equilibrated here for robustness on
+    # sliver cuts. In float32 a sliver's Nitsche stiffness can round to an
+    # indefinite matrix (observed: min eig +4e-6 in f64, negative in f32 at
+    # k=2); cells whose Cholesky NaNs fall back to a pivoted LU of a
+    # trace-eps-shifted copy — a perturbation at the dtype's rounding
+    # level, never selected in f64.
+    oper_chol = equilibrated_cho_solve(stiff, gr_rhs)
+    eps = jnp.finfo(stiff.dtype).eps
+    tr = _einsum("cii->c", stiff) / stiff.shape[-1]
+    shift = 16.0 * eps * tr
+    eye = jnp.eye(stiff.shape[-1], dtype=stiff.dtype)
+    oper_lu = jnp.linalg.solve(stiff + shift[:, None, None] * eye, gr_rhs)
+    bad = jnp.any(jnp.isnan(oper_chol), axis=(1, 2))
+    oper = jnp.where(bad[:, None, None], oper_lu, oper_chol)
     data = _einsum("crm,crn->cmn", gr_rhs, oper)
     return oper, data
 
@@ -218,7 +238,7 @@ def cut_stabilization(batch: CutCellBatch, hdi: HHODegreeInfo, side: int):
 
 
 def cut_rhs(batch: CutCellBatch, degree: int, f, ls: LevelSet, bcs,
-            side: int):
+            side: int, eta: float = CELL_ETA):
     """Source + Nitsche boundary lifting on cut cells (make_rhs cut
     overload, cuthho_square.cpp:623-666): side source at 2*degree
     quadrature plus int_Gamma g (eta/hT phi - dphi.n) at *degree*
@@ -232,7 +252,7 @@ def cut_rhs(batch: CutCellBatch, degree: int, f, ls: LevelSet, bcs,
     irule, iphi, idphi, n = _interface_evals(batch, poly, ls, degree,
                                              degree)
     dn = _einsum("cqix,cqx->cqi", idphi, n)
-    lift = iphi * (CELL_ETA / hT)[:, None, None] - dn
+    lift = iphi * (eta / hT)[:, None, None] - dn
     ret = ret + _einsum("cq,cq,cqi->ci", irule.w, bcs(irule.pts), lift)
     return ret
 

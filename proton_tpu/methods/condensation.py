@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MATMUL_PRECISION
+from ..core.ops import robust_spd_solve
 from .assembly import DofMap, FaceIncidence
 from ..solvers import cg
 
@@ -38,7 +39,7 @@ def _einsum(*args):
 class CondensedSystem(NamedTuple):
     S: jnp.ndarray          # [C, nfd, nfd] condensed local matrices
     bF: jnp.ndarray         # [C, nfd] condensed local loads
-    ATT_chol: jnp.ndarray   # [C, cbs, cbs] Cholesky of the cell blocks
+    ATT: jnp.ndarray        # [C, cbs, cbs] cell blocks (solved robustly)
     ATF: jnp.ndarray        # [C, cbs, nfd]
     fT: jnp.ndarray         # [C, cbs]
 
@@ -50,12 +51,11 @@ def condense(lc, f_cells, cbs: int) -> CondensedSystem:
     ATF = lc[:, :cbs, cbs:]
     AFT = lc[:, cbs:, :cbs]
     AFF = lc[:, cbs:, cbs:]
-    chol = jnp.linalg.cholesky(ATT)
-    iTT_ATF = jax.scipy.linalg.cho_solve((chol, True), ATF)
-    iTT_fT = jax.scipy.linalg.cho_solve((chol, True), f_cells[..., None])
+    iTT_ATF = robust_spd_solve(ATT, ATF)
+    iTT_fT = robust_spd_solve(ATT, f_cells[..., None])
     S = AFF - _einsum("cik,ckj->cij", AFT, iTT_ATF)
     bF = -_einsum("cik,ck->ci", AFT, iTT_fT[..., 0])
-    return CondensedSystem(S, bF, chol, ATF, f_cells)
+    return CondensedSystem(S, bF, ATT, ATF, f_cells)
 
 
 def face_dof_view(dofmap: DofMap):
@@ -135,8 +135,7 @@ def recover_local(dofmap: DofMap, sys: CondensedSystem, x_faces,
     if g_loc is not None:
         uF = uF + g_loc[:, dofmap.cbs:]
     rhs_T = sys.fT - _einsum("cij,cj->ci", sys.ATF, uF)
-    uT = jax.scipy.linalg.cho_solve((sys.ATT_chol, True),
-                                    rhs_T[..., None])[..., 0]
+    uT = robust_spd_solve(sys.ATT, rhs_T[..., None])[..., 0]
     return jnp.concatenate([uT, uF], axis=1)
 
 

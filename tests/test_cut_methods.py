@@ -131,3 +131,15 @@ def test_interface_kappa_contrast_runs():
         8, 0, parms=cm.InterfaceParams(kappa_1=1.0, kappa_2=3.0))
     assert int(res.exit_reason) == 0
     assert np.isfinite(float(res.h1_error))
+
+
+def test_fictdom_k2_convergence_f64():
+    """k=2 fictdom: H1 order k+1 = 3 (f64; in float32 the sliver-cut local
+    blocks round to indefinite — see robust_spd_solve and CLAUDE.md)."""
+    errs = []
+    for N in [8, 16]:
+        res = fictdom.run_fictdom(N, 2)
+        assert int(res.exit_reason) == 0
+        errs.append(float(res.h1_error))
+    order = np.log2(errs[0] / errs[1])
+    assert order > 2.6, f"k=2 order={order}"
