@@ -119,9 +119,9 @@ def triangle_rule(p0, p1, p2, degree: int) -> QuadRule:
     """Batched physical-triangle rule (triangle_quadrature,
     quadratures.hpp:238-271). p0/p1/p2: [..., 2]."""
     lam, wbar = duffy_triangle(degree)
-    rdt = np_real_dtype()
-    lam = jnp.asarray(lam.astype(rdt))
-    wbar = jnp.asarray(wbar.astype(rdt))
+    rdt = p0.dtype  # follow input dtype (mixed-precision paths)
+    lam = jnp.asarray(lam, dtype=rdt)
+    wbar = jnp.asarray(wbar, dtype=rdt)
     v0 = p1 - p0
     v1 = p2 - p0
     area = 0.5 * jnp.abs(v0[..., 0] * v1[..., 1] - v0[..., 1] * v1[..., 0])
@@ -140,10 +140,10 @@ def quad_cell_rule(pts4, degree: int) -> QuadRule:
     Returns points [..., n*n, 2], weights [..., n*n].
     """
     x, w = gauss_legendre(degree)
-    rdt = np_real_dtype()
-    xi = jnp.asarray(np.tile(x, len(x)).astype(rdt))        # inner: x fast
-    eta = jnp.asarray(np.repeat(x, len(x)).astype(rdt))     # outer: y slow
-    ww = jnp.asarray((np.repeat(w, len(w)) * np.tile(w, len(w))).astype(rdt))
+    rdt = pts4.dtype  # follow input dtype (mixed-precision paths)
+    xi = jnp.asarray(np.tile(x, len(x)), dtype=rdt)         # inner: x fast
+    eta = jnp.asarray(np.repeat(x, len(x)), dtype=rdt)      # outer: y slow
+    ww = jnp.asarray(np.repeat(w, len(w)) * np.tile(w, len(w)), dtype=rdt)
 
     p0, p1, p2, p3 = (pts4[..., i, :] for i in range(4))
     # bilinear map (quadratures.hpp:331-343)
@@ -218,9 +218,9 @@ def face_rule(fp0, fp1, degree: int) -> QuadRule:
     """GL rule on segments (integrate(msh, fc, degree),
     quadratures.hpp:404-432). fp0/fp1: [..., 2] endpoints."""
     x, w = gauss_legendre(degree)
-    rdt = np_real_dtype()
-    t = jnp.asarray(x.astype(rdt))
-    ww = jnp.asarray(w.astype(rdt))
+    rdt = fp0.dtype  # follow input dtype (mixed-precision paths)
+    t = jnp.asarray(x, dtype=rdt)
+    ww = jnp.asarray(w, dtype=rdt)
     meas = jnp.linalg.norm(fp1 - fp0, axis=-1)
     pts = (0.5 * (1 - t)[:, None] * fp0[..., None, :] +
            0.5 * (1 + t)[:, None] * fp1[..., None, :])

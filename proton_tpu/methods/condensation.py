@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MATMUL_PRECISION
-from ..core.ops import robust_spd_solve
+from ..core.ops import cho_solve_batched, robust_spd_solve
 from .assembly import DofMap, FaceIncidence
 from ..solvers import cg
 
@@ -44,15 +44,22 @@ class CondensedSystem(NamedTuple):
     fT: jnp.ndarray         # [C, cbs]
 
 
-def condense(lc, f_cells, cbs: int) -> CondensedSystem:
+def condense(lc, f_cells, cbs: int,
+             robust: bool = False) -> CondensedSystem:
     """Eliminate the first cbs local dofs of every cell. f_cells [C, cbs]
-    (face loads are zero in all reference problems; extend bF if needed)."""
+    (face loads are zero in all reference problems; extend bF if needed).
+
+    ``robust=True`` adds the f32 LU fallback of robust_spd_solve — use it
+    only on small batches (e.g. the cut-cell class): the fallback
+    materializes a second batched factorization, which at 10^6 cells costs
+    gigabytes of padded HBM for blocks that never need it."""
+    solver = robust_spd_solve if robust else cho_solve_batched
     ATT = lc[:, :cbs, :cbs]
     ATF = lc[:, :cbs, cbs:]
     AFT = lc[:, cbs:, :cbs]
     AFF = lc[:, cbs:, cbs:]
-    iTT_ATF = robust_spd_solve(ATT, ATF)
-    iTT_fT = robust_spd_solve(ATT, f_cells[..., None])
+    iTT_ATF = solver(ATT, ATF)
+    iTT_fT = solver(ATT, f_cells[..., None])
     S = AFF - _einsum("cik,ckj->cij", AFT, iTT_ATF)
     bF = -_einsum("cik,ck->ci", AFT, iTT_fT[..., 0])
     return CondensedSystem(S, bF, ATT, ATF, f_cells)
@@ -135,7 +142,7 @@ def recover_local(dofmap: DofMap, sys: CondensedSystem, x_faces,
     if g_loc is not None:
         uF = uF + g_loc[:, dofmap.cbs:]
     rhs_T = sys.fT - _einsum("cij,cj->ci", sys.ATF, uF)
-    uT = robust_spd_solve(sys.ATT, rhs_T[..., None])[..., 0]
+    uT = cho_solve_batched(sys.ATT, rhs_T[..., None])[..., 0]
     return jnp.concatenate([uT, uF], axis=1)
 
 

@@ -327,8 +327,12 @@ def fused_local_operator(corners, bar, diam, meas, normals, fgeo,
     C = corners.shape[-1]
     assert C % BLK == 0
 
+    # NOTE: index-map literals must be np.int32 — under jax_enable_x64
+    # (the mixed-precision bench mode) plain `0` literals trace as i64,
+    # which Mosaic fails to legalize ("func.return (i64, i64, i32)").
+    zero = np.int32(0)
     spec = lambda *dims: pl.BlockSpec((*dims, BLK),
-                                      lambda i: (*(0,) * len(dims), i),
+                                      lambda i: (*(zero,) * len(dims), i),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,

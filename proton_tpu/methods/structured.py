@@ -174,7 +174,7 @@ def solve_condensed_structured(sys: StructuredFaceSystem, lc, f_cells,
     if g_loc is not None:
         uF = uF + g_loc[:, cbs:]
     rhs_T = cond.fT - _einsum("cij,cj->ci", cond.ATF, uF)
-    from ..core.ops import robust_spd_solve
-    uT = robust_spd_solve(cond.ATT, rhs_T[..., None])[..., 0]
+    from ..core.ops import cho_solve_batched
+    uT = cho_solve_batched(cond.ATT, rhs_T[..., None])[..., 0]
     local = jnp.concatenate([uT, uF], axis=1)
     return local, res
