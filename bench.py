@@ -127,20 +127,27 @@ def main():
                                     sol_fun, side, eta=eta)
         return data_cut + stab_cut, f_cut
 
+    def _cut64_impl(mesh64, cutdata64):
+        geom64 = cell_geometry(mesh64)
+        batch64 = cut_methods.make_cut_batch(mesh64, geom64, cutdata64,
+                                             cut_ids)
+        _, data_cut = cut_methods.cut_hho_laplacian(
+            batch64, ls, hdi, side, eta=eta)
+        stab_cut = cut_methods.cut_stabilization(batch64, hdi, side)
+        f_cut = cut_methods.cut_rhs(batch64, hdi.cell_degree, rhs_fun,
+                                    ls, sol_fun, side, eta=eta)
+        lc_cut = data_cut + stab_cut
+        cond_cut = condensation.condense(lc_cut, f_cut, dofmap.cbs,
+                                         robust=True)
+        return lc_cut, f_cut, cond_cut
+
+    _cut64_jit = jax.jit(_cut64_impl)
+
     def assemble_cut64():
         """Mixed-precision path: cut-cell class in f64 on the host CPU."""
         with jax.default_device(cpu):
-            geom64 = cell_geometry(mesh64)
-            batch64 = cut_methods.make_cut_batch(mesh64, geom64, cutdata64,
-                                                 cut_ids)
-            _, data_cut = cut_methods.cut_hho_laplacian(
-                batch64, ls, hdi, side, eta=eta)
-            stab_cut = cut_methods.cut_stabilization(batch64, hdi, side)
-            f_cut = cut_methods.cut_rhs(batch64, hdi.cell_degree, rhs_fun,
-                                        ls, sol_fun, side, eta=eta)
-            lc_cut = data_cut + stab_cut
-            cond_cut = condensation.condense(lc_cut, f_cut, dofmap.cbs,
-                                             robust=True)
+            lc_cut, f_cut, cond_cut = _cut64_jit(mesh64, cutdata64)
+            jax.block_until_ready(lc_cut)
         dev = jax.devices()[0]
         return (jax.device_put(_cast32(lc_cut), dev),
                 jax.device_put(_cast32(f_cut), dev),

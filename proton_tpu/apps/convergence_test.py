@@ -68,10 +68,32 @@ def test_method_convergence(ctp: ConvergenceTestParams,
                               max_iter=3 * dofmap.n_dofs,
                               apply_preconditioner=ctp.precond,
                               record_history=write_files)
-            sol = poisson.solve_poisson(mesh, dofmap, hdi, rhs_fun,
-                                        sol_fun, stab, cgp)
-            if int(sol.exit_reason) != cg.CONVERGED:
-                print("Warning! Solver didn't converge...")
+            if ctp.direct:
+                # direct path (the reference's SparseLU branch,
+                # convergence_test.cpp:222-229): densified Cholesky —
+                # fine at the study's system sizes
+                import jax.numpy as jnp
+                from proton_tpu.core.geometry import cell_geometry
+                from proton_tpu.core.ops import cell_rhs
+                from proton_tpu.solvers.cg import CGResult
+                geom = cell_geometry(mesh)
+                oper, lc = poisson.assemble_local(mesh, geom, hdi, stab)
+                fvec = cell_rhs(mesh, geom, hdi.cell_degree, rhs_fun)
+                fd = assembly.dirichlet_face_data(mesh, hdi, sol_fun)
+                g_loc = assembly.local_dirichlet_data(dofmap, mesh, fd)
+                rhs = assembly.assemble_rhs(dofmap, fvec, lc, g_loc)
+                A = assembly.assemble_bcoo(dofmap, lc).todense()
+                from proton_tpu.solvers.cg import solve_spd_dense
+                x = solve_spd_dense(A, rhs)
+                local = assembly.take_local_data(dofmap, x, g_loc)
+                sol = poisson.PoissonSolution(
+                    x, local, oper, jnp.int32(0), jnp.int32(0),
+                    jnp.asarray(0.0), None)
+            else:
+                sol = poisson.solve_poisson(mesh, dofmap, hdi, rhs_fun,
+                                            sol_fun, stab, cgp)
+                if int(sol.exit_reason) != cg.CONVERGED:
+                    print("Warning! Solver didn't converge...")
             errs = poisson.compute_errors(mesh, hdi, sol, sol_fun, sol_grad)
             e = (float(errs.l2), float(errs.l2_proj), float(errs.energy))
             errors.append(e)
