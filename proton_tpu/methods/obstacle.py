@@ -69,7 +69,8 @@ def solve_obstacle(mesh, degree: int, rhs_fun: Callable, bcs_fun: Callable,
                    cg_params: cg.CGParams = cg.CGParams(
                        convergence_threshold=1e-12, max_iter=200000,
                        apply_preconditioner=True),
-                   iteration_callback: Callable = None) -> ObstacleResult:
+                   iteration_callback: Callable = None,
+                   initial_state=None) -> ObstacleResult:
     """run_hho_obstacle (obstacle.cpp:47-227): hdi = (0, degree) — cell
     degree 0, so cbs == 1 and alpha's cell block is one value per cell."""
     hdi = HHODegreeInfo(0, degree)
@@ -133,8 +134,13 @@ def solve_obstacle(mesh, degree: int, rhs_fun: Callable, bcs_fun: Callable,
         delta = jnp.linalg.norm(na - alpha_cells)
         return na, nb, nu, it + 1, delta
 
-    alpha0 = jnp.zeros((C,))
-    beta0 = jnp.ones((C,))                          # obstacle.cpp:99
+    if initial_state is not None:
+        # resume from a checkpoint (utils/checkpoint.py)
+        alpha0, beta0 = (jnp.asarray(initial_state[0]),
+                         jnp.asarray(initial_state[1]))
+    else:
+        alpha0 = jnp.zeros((C,))
+        beta0 = jnp.ones((C,))                      # obstacle.cpp:99
     u0 = jnp.zeros((C, dofmap.d))
     state = (alpha0, beta0, u0, jnp.int32(0), jnp.asarray(jnp.inf))
     if iteration_callback is None:
