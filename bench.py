@@ -174,6 +174,7 @@ def main():
 
     # ---------------- condensed face-grid solve --------------------------
     cgp = cg.CGParams(convergence_threshold=tol,
+                      divergence_threshold=1e8,
                       max_iter=int(os.environ.get("PROTON_BENCH_MAXIT",
                                                   "50000")),
                       apply_preconditioner=True)

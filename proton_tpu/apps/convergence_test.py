@@ -65,6 +65,7 @@ def test_method_convergence(ctp: ConvergenceTestParams,
             mesh = pt.make_quad_mesh(Nx=N, Ny=N)
             dofmap = assembly.build_dofmap(mesh, hdi)
             cgp = cg.CGParams(convergence_threshold=1e-12,
+                              divergence_threshold=1e8,
                               max_iter=3 * dofmap.n_dofs,
                               apply_preconditioner=ctp.precond,
                               record_history=write_files)

@@ -47,7 +47,8 @@ def main(argv=None):
     tc.tic()
     sol = poisson.solve_poisson(
         mesh, dofmap, hdi, rhs_fun, sol_fun, "hho",
-        cg.CGParams(convergence_threshold=1e-12, max_iter=3 * dofmap.n_dofs,
+        cg.CGParams(convergence_threshold=1e-12, divergence_threshold=1e8,
+                    max_iter=3 * dofmap.n_dofs,
                     apply_preconditioner=True))
     tc.toc(sol.x)
     print(bold(yellow(f"Assembly+solve: {tc} seconds "

@@ -85,7 +85,8 @@ def solve_fictdom(mesh, cutdata: CutData, ls: LevelSet, degree: int,
                   rhs_fun: Callable, sol_fun: Callable,
                   sol_grad: Callable,
                   cg_params: cg.CGParams = cg.CGParams(
-                      convergence_threshold=1e-12, max_iter=200000,
+                      convergence_threshold=1e-12,
+                      divergence_threshold=1e8, max_iter=200000,
                       apply_preconditioner=True),
                   check_coercivity: bool = False) -> FictdomResult:
     """Full fictitious-domain pipeline: assemble, PCG solve, H1 error on

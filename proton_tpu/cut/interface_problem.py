@@ -191,7 +191,8 @@ def solve_interface(mesh, cutdata: CutData, ls: LevelSet, degree: int,
                     sol_grad: Callable,
                     parms: InterfaceParams = InterfaceParams(),
                     cg_params: cg.CGParams = cg.CGParams(
-                        convergence_threshold=1e-9, max_iter=200000,
+                        convergence_threshold=1e-9,
+                        divergence_threshold=1e8, max_iter=200000,
                         apply_preconditioner=True)) -> InterfaceResult:
     """Assemble and solve the kappa-weighted elliptic interface problem
     (run_cuthho_interface, cuthho_square.cpp:1625-1846); hdi =

@@ -149,7 +149,8 @@ def recover_local(dofmap: DofMap, sys: CondensedSystem, x_faces,
 def solve_condensed(dofmap: DofMap, lc, f_cells, g_loc=None,
                     inc: Optional[FaceIncidence] = None,
                     cg_params: cg.CGParams = cg.CGParams(
-                        convergence_threshold=1e-12, max_iter=200000,
+                        convergence_threshold=1e-12,
+                      divergence_threshold=1e8, max_iter=200000,
                         apply_preconditioner=True)):
     """Condense, CG-solve the face system, recover cells. Returns
     (local [C, d], CGResult)."""

@@ -67,7 +67,8 @@ def solve_obstacle(mesh, degree: int, rhs_fun: Callable, bcs_fun: Callable,
                    c: float = 1.0,
                    quadrature_degree_increase: int = 1,
                    cg_params: cg.CGParams = cg.CGParams(
-                       convergence_threshold=1e-12, max_iter=200000,
+                       convergence_threshold=1e-12,
+                      divergence_threshold=1e8, max_iter=200000,
                        apply_preconditioner=True),
                    iteration_callback: Callable = None,
                    initial_state=None) -> ObstacleResult:

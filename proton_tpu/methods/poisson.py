@@ -95,7 +95,8 @@ def assemble_local_chunked(mesh, geom, hdi: HHODegreeInfo,
 def solve_poisson(mesh, dofmap: assembly.DofMap, hdi: HHODegreeInfo,
                   rhs_fun: Callable, bc_fun: Callable, stab: str = "hho",
                   cg_params: cg.CGParams = cg.CGParams(
-                      convergence_threshold=1e-12, max_iter=200000,
+                      convergence_threshold=1e-12,
+                      divergence_threshold=1e8, max_iter=200000,
                       apply_preconditioner=True)) -> PoissonSolution:
     """Assemble and solve -lap(u) = f, u = g on the boundary.
 
@@ -168,7 +169,8 @@ def compute_errors(mesh, hdi: HHODegreeInfo, sol: PoissonSolution,
 def make_jitted_pipeline(hdi: HHODegreeInfo, rhs_fun, bc_fun, exact_grad,
                          stab: str = "hho",
                          cg_params: cg.CGParams = cg.CGParams(
-                             convergence_threshold=1e-12, max_iter=200000,
+                             convergence_threshold=1e-12,
+                      divergence_threshold=1e8, max_iter=200000,
                              apply_preconditioner=True)):
     """One jit-compiled (mesh, dofmap) -> (solution, errors) pipeline.
     bc_fun doubles as the exact solution for the error computation, as in

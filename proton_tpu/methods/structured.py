@@ -159,6 +159,7 @@ def solve_condensed_structured(sys: StructuredFaceSystem, lc, f_cells,
                                cbs: int, g_loc=None,
                                cg_params: cg.CGParams = cg.CGParams(
                                    convergence_threshold=1e-6,
+                                   divergence_threshold=1e8,
                                    max_iter=50000,
                                    apply_preconditioner=True)
                                ) -> Tuple[jnp.ndarray, cg.CGResult]:
