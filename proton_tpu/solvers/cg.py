@@ -90,17 +90,22 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
 
     x0 = jax.tree.map(jnp.zeros_like, b)
     r0 = b  # r = b - A*0
-    d0 = precond(r0)
+    z0 = precond(r0)
+    d0 = z0
+    rho0 = _tree_vdot(r0, z0)
     nr0 = jnp.sqrt(_tree_vdot(r0, r0))
     hist_len = params.max_iter + 2 if params.record_history else 1
     hist0 = jnp.full((hist_len,), jnp.nan, dtype=dtype)
 
     def cond(state):
-        _, _, _, _, _, exit_code, _ = state
+        _, _, _, _, _, _, exit_code, _ = state
         return exit_code < 0
 
     def body(state):
-        x, r, d, nr, it, _, hist = state
+        # Standard PCG carrying z = M^-1 r and rho = <r, z> through the
+        # loop: the preconditioner is applied exactly ONCE per iteration
+        # (matters when M^-1 is a multigrid V-cycle, not just Jacobi).
+        x, r, d, rho, nr, it, _, hist = state
         if params.record_history:
             hist = hist.at[jnp.minimum(it, hist_len - 1)].set(nr / nr0)
         if params.verbose:
@@ -110,8 +115,6 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
                                         i=it, rr=nr / nr0),
                 lambda: None)
         y = apply_A(d)
-        iMr = precond(r)
-        rho = _tree_vdot(r, iMr)
         alpha = rho / _tree_vdot(d, y)
         x = _tree_axpy(alpha, d, x)
         r = _tree_axpy(-alpha, y, r)
@@ -122,13 +125,15 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
             jnp.where(it > params.max_iter, MAX_ITER_REACHED,
                       jnp.where(rel > params.divergence_threshold,
                                 DIVERGED, -1))).astype(jnp.int32)
-        iMr = precond(r)
-        beta = _tree_vdot(r, iMr) / rho
-        d = _tree_axpy(beta, d, iMr)
-        return (x, r, d, nr, it + 1, exit_code, hist)
+        z = precond(r)
+        rho_new = _tree_vdot(r, z)
+        beta = rho_new / rho
+        d = _tree_axpy(beta, d, z)
+        return (x, r, d, rho_new, nr, it + 1, exit_code, hist)
 
-    state0 = (x0, r0, d0, nr0, jnp.int32(0), jnp.int32(-1), hist0)
-    x, r, d, nr, it, exit_code, hist = jax.lax.while_loop(cond, body, state0)
+    state0 = (x0, r0, d0, rho0, nr0, jnp.int32(0), jnp.int32(-1), hist0)
+    x, r, d, rho, nr, it, exit_code, hist = jax.lax.while_loop(
+        cond, body, state0)
     if params.record_history:
         hist = hist.at[jnp.minimum(it, hist_len - 1)].set(nr / nr0)
     return CGResult(x, exit_code, it, nr / nr0,

