@@ -1,0 +1,326 @@
+"""Cells-last ([entries, C]) layout for the condensed solve path.
+
+TPU memory tiles are (8, 128) over the two minor axes, so batched local
+operators stored as [C, d, d] pad their small trailing dims: at k=2 on a
+1024^2 mesh, lc [1M, 22, 22] tile-pads to ~12 GB and OOMs a 16 GB chip
+(round-1 blocker, ROADMAP item 2). Keeping the *cell* index in the lane
+(minor) dimension makes every array dense: lc [d*d, C], condensed Schur
+S [nfd*nfd, C], grids [fbs, Ny(+1), Nx(+1)].
+
+This module provides the full condensed structured-grid solve in that
+layout:
+
+- ``condense_cl``: static condensation with an UNROLLED Cholesky over
+  [C]-lane vectors (the same list-of-lanes algorithm as the fused Pallas
+  assembly kernel, methods/pallas_assembly.py, which natively emits
+  [d*d, C]) — jnp.linalg.cholesky on [C, cbs, cbs] would force the padded
+  layout back.
+- ``GridVecCL`` face grids with the polynomial coefficient LEADING, so
+  gather/scatter are pure concatenations along the big spatial axes.
+- operator / diagonal / block-Jacobi / cut-patch smoother / transfer
+  equivalents of methods/structured.py, verified identical in tests.
+
+The row-major path (methods/condensation.py, methods/structured.py)
+remains the reference implementation for CPU/f64 accuracy gates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MATMUL_PRECISION
+from .pallas_assembly import _chol_solve_unrolled
+from .structured import StructuredFaceSystem
+
+
+def _einsum(*args):
+    return jnp.einsum(*args, precision=MATMUL_PRECISION)
+
+
+class CondensedCL(NamedTuple):
+    """Condensed system in cells-last layout (cf.
+    condensation.CondensedSystem)."""
+
+    S: jnp.ndarray       # [nfd*nfd, C]
+    bF: jnp.ndarray      # [nfd, C]
+    ATT: jnp.ndarray     # [cbs*cbs, C]
+    ATF: jnp.ndarray     # [cbs*nfd, C]
+    fT: jnp.ndarray      # [cbs, C]
+
+
+def _rows(flat, n, m):
+    """[n*m, C] -> list-of-lists of [C] lane vectors."""
+    return [[flat[i * m + j] for j in range(m)] for i in range(n)]
+
+
+def _stack(rows):
+    return jnp.stack([e for row in rows for e in row])
+
+
+def condense_cl(lc_cl, f_cl, cbs: int) -> CondensedCL:
+    """Schur-eliminate the first cbs local dofs of every cell, entirely in
+    lane vectors (see condensation.condense for the math)."""
+    d2, C = lc_cl.shape
+    d = int(round(d2 ** 0.5))
+    nfd = d - cbs
+    A = _rows(lc_cl, d, d)
+    ATT = [[A[i][j] for j in range(cbs)] for i in range(cbs)]
+    ATF = [[A[i][cbs + j] for j in range(nfd)] for i in range(cbs)]
+    AFT = [[A[cbs + i][j] for j in range(cbs)] for i in range(nfd)]
+    AFF = [[A[cbs + i][cbs + j] for j in range(nfd)] for i in range(nfd)]
+    fT = [f_cl[i] for i in range(cbs)]
+
+    B = [ATF[i] + [fT[i]] for i in range(cbs)]        # [cbs][nfd+1]
+    X = _chol_solve_unrolled(ATT, B)
+    S = [[AFF[i][j] - sum(AFT[i][k] * X[k][j] for k in range(cbs))
+          for j in range(nfd)] for i in range(nfd)]
+    bF = [[-sum(AFT[i][k] * X[k][nfd] for k in range(cbs))]
+          for i in range(nfd)]
+    return CondensedCL(_stack(S), _stack(bF), _stack(ATT), _stack(ATF),
+                       jnp.stack(fT))
+
+
+def recover_cells_cl(cond: CondensedCL, uF_cl):
+    """uT [cbs, C] = ATT^-1 (fT - ATF uF) (back-substitution of the
+    condensation), lane-vector unrolled."""
+    cbs = cond.fT.shape[0]
+    nfd = cond.bF.shape[0]
+    ATT = _rows(cond.ATT, cbs, cbs)
+    ATF = _rows(cond.ATF, cbs, nfd)
+    rhs = [[cond.fT[i] - sum(ATF[i][j] * uF_cl[j] for j in range(nfd))]
+           for i in range(cbs)]
+    uT = _chol_solve_unrolled(ATT, rhs)
+    return jnp.stack([uT[i][0] for i in range(cbs)])
+
+
+def from_row_major(cond_rm) -> CondensedCL:
+    """condensation.CondensedSystem ([C, ...]) -> CondensedCL (transpose;
+    used to splice small special-cell batches, e.g. the f64 cut class,
+    into a cells-last system)."""
+    C, nfd = cond_rm.bF.shape
+    cbs = cond_rm.fT.shape[1]
+    return CondensedCL(
+        jnp.transpose(cond_rm.S, (1, 2, 0)).reshape(nfd * nfd, C),
+        jnp.transpose(cond_rm.bF, (1, 0)),
+        jnp.transpose(cond_rm.ATT, (1, 2, 0)).reshape(cbs * cbs, C),
+        jnp.transpose(cond_rm.ATF, (1, 2, 0)).reshape(cbs * nfd, C),
+        jnp.transpose(cond_rm.fT, (1, 0)))
+
+
+def set_cells(cond: CondensedCL, ids, sub: CondensedCL) -> CondensedCL:
+    """Overwrite the columns ``ids`` with another (small) condensed batch
+    (the cut-cell class overwrite of the fictdom assembly)."""
+    return CondensedCL(*(a.at[:, ids].set(b)
+                         for a, b in zip(cond, sub)))
+
+
+# ---------------------------------------------------------------------------
+# Face grids with the coefficient axis leading
+# ---------------------------------------------------------------------------
+
+
+class GridVecCL(NamedTuple):
+    H: jnp.ndarray   # [fbs, Ny+1, Nx]
+    V: jnp.ndarray   # [fbs, Ny, Nx+1]
+
+
+def zeros_grid_cl(sys: StructuredFaceSystem, dtype) -> GridVecCL:
+    return GridVecCL(jnp.zeros((sys.fbs, sys.Ny + 1, sys.Nx), dtype),
+                     jnp.zeros((sys.fbs, sys.Ny, sys.Nx + 1), dtype))
+
+
+def to_cells_last(x) -> GridVecCL:
+    """structured.GridVec ([Ny+1, Nx, fbs]) -> GridVecCL."""
+    return GridVecCL(jnp.transpose(x.H, (2, 0, 1)),
+                     jnp.transpose(x.V, (2, 0, 1)))
+
+
+def from_cells_last(x: GridVecCL):
+    from .structured import GridVec
+    return GridVec(jnp.transpose(x.H, (1, 2, 0)),
+                   jnp.transpose(x.V, (1, 2, 0)))
+
+
+def grid_gather_cl(sys: StructuredFaceSystem, x: GridVecCL):
+    """Local face vectors [4*fbs, C] by slicing (local slot order
+    bottom, right, top, left as in structured.grid_gather)."""
+    loc = jnp.concatenate([x.H[:, :-1, :], x.V[:, :, 1:],
+                           x.H[:, 1:, :], x.V[:, :, :-1]], axis=0)
+    return loc.reshape(4 * sys.fbs, sys.Ny * sys.Nx)
+
+
+def grid_scatter_cl(sys: StructuredFaceSystem, contrib) -> GridVecCL:
+    """Adjoint of grid_gather_cl: [4*B, C] -> grids [B, ...]."""
+    B = contrib.shape[0] // 4
+    c = contrib.reshape(4, B, sys.Ny, sys.Nx)
+    zH = jnp.zeros((B, 1, sys.Nx), dtype=contrib.dtype)
+    H = jnp.concatenate([c[0], zH], axis=1) + \
+        jnp.concatenate([zH, c[2]], axis=1)
+    zV = jnp.zeros((B, sys.Ny, 1), dtype=contrib.dtype)
+    V = jnp.concatenate([c[3], zV], axis=2) + \
+        jnp.concatenate([zV, c[1]], axis=2)
+    return GridVecCL(H, V)
+
+
+def mask_cl(sys: StructuredFaceSystem, x: GridVecCL) -> GridVecCL:
+    return GridVecCL(x.H * sys.freeH[None], x.V * sys.freeV[None])
+
+
+def _matvec_rows(S_cl, xl, n_out, n_in):
+    """y[i] = sum_j S[i*n_in+j] * xl[j], unrolled multiply-adds over lane
+    vectors/planes (fusible elementwise chains; no dot_general layout
+    surprises)."""
+    out = []
+    for i in range(n_out):
+        acc = S_cl[i * n_in] * xl[0]
+        for j in range(1, n_in):
+            acc = acc + S_cl[i * n_in + j] * xl[j]
+        out.append(acc)
+    return jnp.stack(out)
+
+
+def make_structured_operator_cl(sys: StructuredFaceSystem, S_cl):
+    """Matrix-free Schur operator, cells-last (cf.
+    structured.make_structured_operator)."""
+    nfd = 4 * sys.fbs
+
+    def apply_S(x: GridVecCL) -> GridVecCL:
+        xm = mask_cl(sys, x)
+        xl = grid_gather_cl(sys, xm)
+        contrib = _matvec_rows(S_cl, xl, nfd, nfd)
+        y = mask_cl(sys, grid_scatter_cl(sys, contrib))
+        return GridVecCL(y.H + x.H * (~sys.freeH[None]),
+                         y.V + x.V * (~sys.freeV[None]))
+
+    return apply_S
+
+
+def structured_diagonal_cl(sys: StructuredFaceSystem, S_cl) -> GridVecCL:
+    nfd = 4 * sys.fbs
+    dl = jnp.stack([S_cl[i * nfd + i] for i in range(nfd)])
+    d = grid_scatter_cl(sys, dl)
+    return GridVecCL(jnp.where(sys.freeH[None], d.H, 1.0),
+                     jnp.where(sys.freeV[None], d.V, 1.0))
+
+
+def structured_rhs_cl(sys: StructuredFaceSystem, cond: CondensedCL,
+                      gF_cl=None) -> GridVecCL:
+    """Condensed loads (+ Dirichlet fold) scattered to the grids; gF_cl
+    [nfd, C] is the local Dirichlet data restricted to face slots."""
+    nfd = cond.bF.shape[0]
+    loads = cond.bF
+    if gF_cl is not None:
+        loads = loads - _matvec_rows(cond.S, gF_cl, nfd, nfd)
+    return mask_cl(sys, grid_scatter_cl(sys, loads))
+
+
+def assembled_face_blocks_cl(sys: StructuredFaceSystem, S_cl):
+    """Per-face assembled fbs x fbs diagonal blocks, cells-last:
+    (BH [fbs, fbs, Ny+1, Nx], BV [fbs, fbs, Ny, Nx+1]); identity on
+    frozen faces."""
+    fbs, nfd = sys.fbs, 4 * sys.fbs
+    C = S_cl.shape[1]
+    blocks = jnp.stack([
+        jnp.stack([S_cl[(s * fbs + i) * nfd + s * fbs + j]
+                   for j in range(fbs)])
+        for s in range(4) for i in range(fbs)])      # [4*fbs*fbs ... ]
+    blocks = blocks.reshape(4, fbs * fbs, C).reshape(4 * fbs * fbs, C)
+    acc = grid_scatter_cl(sys, blocks)
+    BH = acc.H.reshape(fbs, fbs, sys.Ny + 1, sys.Nx)
+    BV = acc.V.reshape(fbs, fbs, sys.Ny, sys.Nx + 1)
+    eye = jnp.eye(fbs, dtype=S_cl.dtype)[:, :, None, None]
+    BH = jnp.where(sys.freeH[None, None], BH, eye)
+    BV = jnp.where(sys.freeV[None, None], BV, eye)
+    return BH, BV
+
+
+def _inv_planes(B):
+    """Inverse of [n, n, ...] plane-stacked matrices (setup-only)."""
+    perm = (*range(2, B.ndim), 0, 1)
+    inv = jnp.linalg.inv(jnp.transpose(B, perm))
+    back = (B.ndim - 2, B.ndim - 1, *range(B.ndim - 2))
+    return jnp.transpose(inv, back)
+
+
+def block_jacobi_preconditioner_cl(sys: StructuredFaceSystem, S_cl):
+    """Per-face block-Jacobi, cells-last (cf.
+    structured.block_jacobi_preconditioner)."""
+    fbs = sys.fbs
+    BH, BV = assembled_face_blocks_cl(sys, S_cl)
+    iH, iV = _inv_planes(BH), _inv_planes(BV)
+
+    def precond(r: GridVecCL) -> GridVecCL:
+        H = jnp.stack([sum(iH[i, j] * r.H[j] for j in range(fbs))
+                       for i in range(fbs)])
+        V = jnp.stack([sum(iV[i, j] * r.V[j] for j in range(fbs))
+                       for i in range(fbs)])
+        return GridVecCL(H, V)
+
+    return precond
+
+
+def make_cut_patch_smoother_cl(sys: StructuredFaceSystem, S_cl, cut_ids):
+    """Interface-patch additive Schwarz smoother, cells-last (cf.
+    structured.make_cut_patch_smoother for the construction and
+    rationale)."""
+    fbs, Nx = sys.fbs, sys.Nx
+    nfd = 4 * fbs
+    ids_np = np.asarray(cut_ids)
+    Cc = len(ids_np)
+    jj = jnp.asarray(ids_np // Nx, dtype=jnp.int32)
+    ii = jnp.asarray(ids_np % Nx, dtype=jnp.int32)
+
+    BH, BV = assembled_face_blocks_cl(sys, S_cl)
+    slot_blocks = jnp.stack([
+        BH[:, :, jj, ii], BV[:, :, jj, ii + 1],
+        BH[:, :, jj + 1, ii], BV[:, :, jj, ii]], axis=0)  # [4,fbs,fbs,Cc]
+    B = jnp.transpose(S_cl[:, ids_np].reshape(nfd, nfd, Cc), (2, 0, 1))
+    sb = jnp.transpose(slot_blocks, (3, 0, 1, 2))          # [Cc,4,fbs,fbs]
+    B = B.reshape(Cc, 4, fbs, 4, fbs)
+    for s in range(4):
+        B = B.at[:, s, :, s, :].set(sb[:, s])
+    B = B.reshape(Cc, nfd, nfd)
+    free_slot = jnp.stack([sys.freeH[jj, ii], sys.freeV[jj, ii + 1],
+                           sys.freeH[jj + 1, ii], sys.freeV[jj, ii]],
+                          axis=1)
+    m = jnp.repeat(free_slot, fbs, axis=1).astype(S_cl.dtype)
+    B = B * (m[:, :, None] * m[:, None, :]) + \
+        jnp.eye(nfd, dtype=S_cl.dtype) * (1.0 - m)[:, None, :]
+    Binv = jnp.linalg.inv(B)
+
+    onesl = jnp.zeros((nfd, S_cl.shape[1]), S_cl.dtype).at[:, ids_np].set(
+        1.0)
+    mult = grid_scatter_cl(sys, onesl)
+    wH = jnp.where(mult.H > 0, 1.0 / jnp.sqrt(jnp.maximum(mult.H, 1.0)),
+                   0.0)
+    wV = jnp.where(mult.V > 0, 1.0 / jnp.sqrt(jnp.maximum(mult.V, 1.0)),
+                   0.0)
+
+    def apply_patch(r: GridVecCL) -> GridVecCL:
+        rH, rV = r.H * wH, r.V * wV
+        rl = jnp.concatenate([rH[:, jj, ii], rV[:, jj, ii + 1],
+                              rH[:, jj + 1, ii], rV[:, jj, ii]], axis=0)
+        xc = _einsum("cij,jc->ic", Binv, rl).reshape(4, fbs, -1)
+        H = jnp.zeros_like(r.H)
+        H = H.at[:, jj, ii].add(xc[0]).at[:, jj + 1, ii].add(xc[2])
+        V = jnp.zeros_like(r.V)
+        V = V.at[:, jj, ii].add(xc[3]).at[:, jj, ii + 1].add(xc[1])
+        return mask_cl(sys, GridVecCL(H * wH, V * wV))
+
+    return apply_patch
+
+
+def solve_recover_cl(sys: StructuredFaceSystem, cond: CondensedCL,
+                     x: GridVecCL, gF_cl=None):
+    """Face solution -> per-cell local dofs [C, d] (row-major output for
+    postprocessing)."""
+    uF = grid_gather_cl(sys, mask_cl(sys, x))
+    if gF_cl is not None:
+        uF = uF + gF_cl
+    uT = recover_cells_cl(cond, uF)
+    return jnp.concatenate([uT, uF], axis=0).T

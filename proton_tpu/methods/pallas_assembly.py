@@ -311,12 +311,15 @@ def _make_kernel(hdi: HHODegreeInfo):
 
 
 @functools.partial(jax.jit, static_argnames=("cell_degree", "face_degree",
-                                             "interpret"))
+                                             "interpret", "cells_last"))
 def fused_local_operator(corners, bar, diam, meas, normals, fgeo,
                          cell_degree: int, face_degree: int,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         cells_last: bool = False):
     """lc [C, d, d] = reconstruction data + naive stabilization for quad
-    cells, via the fused kernel.
+    cells, via the fused kernel. With ``cells_last``, returns the kernel's
+    native [d*d, C] layout untransposed (the dense TPU layout — see
+    methods/cells_last.py).
 
     corners [4, 2, C]; bar [2, C]; diam/meas [1, C]; normals [4, 2, C];
     fgeo [4, 5, C] (face barycenter x/y, face-basis base vector x/y,

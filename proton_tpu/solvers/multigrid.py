@@ -8,21 +8,33 @@ on the face skeleton; Jacobi-PCG iteration counts grow ~linearly in N
 - hierarchy: the *same discretization* reassembled on meshes N, N/2, ...
   (rediscretized coarse operators — for cut problems the coarse level is
   simply the cutHHO operator on the coarser background mesh);
-- transfers: prolongation embeds coarse face polynomials exactly into the
-  two coplanar fine sub-faces (affine reparametrization of the face
-  basis) and injects neighbor means into the non-coplanar mid faces;
-  restriction is the *exact adjoint* via jax.linear_transpose, which
-  keeps the V-cycle symmetric (valid as a CG preconditioner with equal
-  pre/post smoothing);
-- smoothing: damped point-Jacobi (w = 2/3);
+- transfers: *reconstruction-based* prolongation (the HHO-multigrid
+  construction, cf. Di Pietro et al. / Lu-Rupp-Kanschat): coarse face
+  dofs -> harmonic cell extension u_T = -A_TT^-1 A_TF u_F -> potential
+  reconstruction R(u_T, u_F) of degree k+1 (constant closed by the cell
+  mean) -> L2 trace projection onto the 12 fine sub-faces of the 2x2
+  refinement. For uniform square cells this collapses into 12 fixed
+  [fbs, 4*fbs] matrices per level (computed numerically on a one-cell
+  mesh with the production kernels, so every basis convention matches by
+  construction), applied as a pure stencil over the face grids — no
+  gathers. Fine faces on the coarse skeleton average the two adjacent
+  coarse-cell reconstructions. Restriction is the *exact adjoint* via
+  jax.linear_transpose, which keeps the V-cycle symmetric (valid as a CG
+  preconditioner with equal pre/post smoothing);
+- smoothing: damped per-face block-Jacobi (each fbs x fbs condensed
+  diagonal block inverted once at setup), or damped point-Jacobi;
 - coarsest level: dense Cholesky (the operator densified by applying it
   to identity columns once at setup).
+
+The legacy constant-injection transfers of round 1 (make_prolongation)
+are kept for comparison; build_multigrid uses the reconstruction-based
+ones whenever ``hdi`` is provided.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, NamedTuple
+from typing import Callable, List, NamedTuple, Optional
 
 import numpy as np
 
@@ -30,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..methods.structured import (GridVec, StructuredFaceSystem,
+                                  block_jacobi_preconditioner,
                                   make_structured_operator,
                                   make_structured_system,
                                   structured_diagonal)
@@ -105,10 +118,176 @@ def make_prolongation(sys_f: StructuredFaceSystem,
     return prolong
 
 
+def _transfer_slot_matrices(hdi, h: float, dtype):
+    """12 fine-face transfer matrices [fbs, nfd] for one coarse square
+    cell of side ``h`` and its 2x2 refinement (see module docstring).
+
+    Returned as (MH [3, 2, fbs, nfd], MV [2, 3, fbs, nfd]) indexed by the
+    fine-face position inside the coarse cell: MH[r, c] is the horizontal
+    fine face at height r*h/2 and column c; MV[r, c] the vertical fine
+    face at abscissa c*h/2 and row r. Not h-invariant: the naive
+    stabilization scales as 1/h against the O(1) reconstruction term, so
+    the harmonic extension T depends on h — compute per level.
+    """
+    from ..core import bases, quadrature
+    from ..core.geometry import cell_geometry
+    from ..core.mesh import make_quad_mesh
+    from ..methods import hho
+
+    mesh_c = make_quad_mesh(Nx=1, Ny=1, min_x=0.0, max_x=h,
+                            min_y=0.0, max_y=h)
+    geom_c = cell_geometry(mesh_c)
+    oper, data = hho.hho_laplacian(mesh_c, geom_c, hdi)
+    stab = hho.naive_stabilization(mesh_c, geom_c, hdi)
+    lc = (data + stab)[0]
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    fbs = bases.face_basis_size(hdi.face_degree)
+    recdeg = hdi.reconstruction_degree
+    nfd = 4 * fbs
+    d = cbs + nfd
+
+    T = -jnp.linalg.solve(lc[:cbs, :cbs], lc[:cbs, cbs:])   # [cbs, nfd]
+    Vmap = jnp.concatenate([T, jnp.eye(nfd, dtype=lc.dtype)], axis=0)
+
+    # full reconstruction: rows 1: are the gradient-reconstruction
+    # operator; the constant row closes the cell mean, m @ (Rfull v) =
+    # m[:cbs] @ u_T with m_i = int_T rphi_i.
+    rule = quadrature.cell_rule(mesh_c, geom_c, recdeg)
+    rphi = bases.eval_cell_basis(rule.pts, geom_c.bar[:, None, :],
+                                 geom_c.diam[:, None], recdeg)
+    m = jnp.einsum("cq,cqi->ci", rule.w, rphi)[0]            # [rbs]
+    R1 = oper[0]                                             # [rbs-1, d]
+    Icbs = jnp.zeros((cbs, d), lc.dtype).at[:, :cbs].set(
+        jnp.eye(cbs, dtype=lc.dtype))
+    r0 = (m[:cbs] @ Icbs - m[1:] @ R1) / m[0]                # [d]
+    Rfull = jnp.concatenate([r0[None, :], R1], axis=0)       # [rbs, d]
+    recmap = Rfull @ Vmap                                    # [rbs, nfd]
+
+    bar_c, diam_c = geom_c.bar[0], geom_c.diam[0]
+
+    def face_matrix(p0, p1):
+        # p0 is the sorted-ptid endpoint (left for H faces, bottom for V),
+        # matching the generator's face-basis orientation.
+        p0 = jnp.asarray(p0, lc.dtype)
+        p1 = jnp.asarray(p1, lc.dtype)
+        frule = quadrature.face_rule(p0, p1, hdi.face_degree + recdeg)
+        fbar = 0.5 * (p0 + p1)
+        fphi = bases.eval_face_basis(frule.pts, fbar, fbar - p0,
+                                     jnp.linalg.norm(p1 - p0),
+                                     hdi.face_degree)         # [Q, fbs]
+        rphiF = bases.eval_cell_basis(frule.pts, bar_c, diam_c, recdeg)
+        Mf = jnp.einsum("q,qi,qj->ij", frule.w, fphi, fphi)
+        B = jnp.einsum("q,qi,qr->ir", frule.w, fphi, rphiF)
+        return jnp.linalg.solve(Mf, B) @ recmap               # [fbs, nfd]
+
+    hh = h / 2.0
+    MH = jnp.stack([
+        jnp.stack([face_matrix((c * hh, r * hh), ((c + 1) * hh, r * hh))
+                   for c in range(2)]) for r in range(3)])
+    MV = jnp.stack([
+        jnp.stack([face_matrix((c * hh, r * hh), (c * hh, (r + 1) * hh))
+                   for c in range(3)]) for r in range(2)])
+    return MH.astype(dtype), MV.astype(dtype)
+
+
+def make_reconstruction_prolongation(sys_f: StructuredFaceSystem,
+                                     sys_c: StructuredFaceSystem,
+                                     hdi, h_coarse: float,
+                                     dtype=jnp.float32):
+    """Reconstruction-based coarse->fine transfer (module docstring):
+    returns a linear callable GridVec_c -> GridVec_f."""
+    from ..methods.structured import grid_gather
+
+    fbs = sys_f.fbs
+    assert sys_f.Nx == 2 * sys_c.Nx and sys_f.Ny == 2 * sys_c.Ny
+    MH, MV = _transfer_slot_matrices(hdi, h_coarse, dtype)
+
+    def prolong(xc: GridVec) -> GridVec:
+        Nyc, Nxc = sys_c.Ny, sys_c.Nx
+        xl = grid_gather(sys_c, xc).reshape(Nyc, Nxc, 4 * fbs)
+        fh = jnp.einsum("rcfn,YXn->YXrcf", MH, xl)   # [Nyc,Nxc,3,2,fbs]
+        fv = jnp.einsum("rcfn,YXn->YXrcf", MV, xl)   # [Nyc,Nxc,2,3,fbs]
+
+        def cols2(a):   # [Nyc, Nxc, 2, fbs] -> [Nyc, 2*Nxc, fbs]
+            return a.reshape(Nyc, 2 * Nxc, fbs)
+
+        bot, mid_h, top = (cols2(fh[:, :, r]) for r in range(3))
+        zrow = jnp.zeros((1, 2 * Nxc, fbs), dtype=bot.dtype)
+        # coarse-skeleton rows average the two adjacent reconstructions
+        Heven = 0.5 * (jnp.concatenate([bot, zrow], axis=0) +
+                       jnp.concatenate([zrow, top], axis=0))
+        H = jnp.zeros((2 * Nyc + 1, 2 * Nxc, fbs), dtype=bot.dtype)
+        H = H.at[0::2].set(Heven).at[1::2].set(mid_h)
+
+        def rows2(a):   # [Nyc, Nxc, 2, fbs] -> [2*Nyc, Nxc, fbs]
+            return jnp.swapaxes(a, 1, 2).reshape(2 * Nyc, Nxc, fbs)
+
+        left = rows2(fv[:, :, :, 0])
+        mid_v = rows2(fv[:, :, :, 1])
+        right = rows2(fv[:, :, :, 2])
+        zcol = jnp.zeros((2 * Nyc, 1, fbs), dtype=left.dtype)
+        Veven = 0.5 * (jnp.concatenate([left, zcol], axis=1) +
+                       jnp.concatenate([zcol, right], axis=1))
+        V = jnp.zeros((2 * Nyc, 2 * Nxc + 1, fbs), dtype=left.dtype)
+        V = V.at[:, 0::2].set(Veven).at[:, 1::2].set(mid_v)
+
+        return GridVec(H * sys_f.freeH[..., None],
+                       V * sys_f.freeV[..., None])
+
+    return prolong
+
+
+def make_reconstruction_prolongation_cl(sys_f: StructuredFaceSystem,
+                                        sys_c: StructuredFaceSystem,
+                                        hdi, h_coarse: float,
+                                        dtype=jnp.float32):
+    """Cells-last variant of make_reconstruction_prolongation (operates on
+    cells_last.GridVecCL grids)."""
+    from ..methods.cells_last import GridVecCL, grid_gather_cl
+
+    fbs = sys_f.fbs
+    assert sys_f.Nx == 2 * sys_c.Nx and sys_f.Ny == 2 * sys_c.Ny
+    MH, MV = _transfer_slot_matrices(hdi, h_coarse, dtype)
+
+    def prolong(xc: "GridVecCL") -> "GridVecCL":
+        Nyc, Nxc = sys_c.Ny, sys_c.Nx
+        xl = grid_gather_cl(sys_c, xc).reshape(4 * fbs, Nyc, Nxc)
+        fh = jnp.einsum("rcfn,nYX->rcfYX", MH, xl)
+        fv = jnp.einsum("rcfn,nYX->rcfYX", MV, xl)
+
+        def cols2(r):   # interleave the two column slots of H row r
+            return jnp.stack([fh[r, 0], fh[r, 1]], axis=-1).reshape(
+                fbs, Nyc, 2 * Nxc)
+
+        bot, mid_h, top = cols2(0), cols2(1), cols2(2)
+        zrow = jnp.zeros((fbs, 1, 2 * Nxc), bot.dtype)
+        Heven = 0.5 * (jnp.concatenate([bot, zrow], axis=1) +
+                       jnp.concatenate([zrow, top], axis=1))
+        H = jnp.zeros((fbs, 2 * Nyc + 1, 2 * Nxc), bot.dtype)
+        H = H.at[:, 0::2].set(Heven).at[:, 1::2].set(mid_h)
+
+        def rows2(c):   # interleave the two row slots of V column c
+            return jnp.stack([fv[0, c], fv[1, c]], axis=2).reshape(
+                fbs, 2 * Nyc, Nxc)
+
+        left, mid_v, right = rows2(0), rows2(1), rows2(2)
+        zcol = jnp.zeros((fbs, 2 * Nyc, 1), left.dtype)
+        Veven = 0.5 * (jnp.concatenate([left, zcol], axis=2) +
+                       jnp.concatenate([zcol, right], axis=2))
+        V = jnp.zeros((fbs, 2 * Nyc, 2 * Nxc + 1), left.dtype)
+        V = V.at[:, :, 0::2].set(Veven).at[:, :, 1::2].set(mid_v)
+
+        return GridVecCL(H * sys_f.freeH[None], V * sys_f.freeV[None])
+
+    return prolong
+
+
 class MGLevel(NamedTuple):
     sys: StructuredFaceSystem
     apply_S: Callable
-    inv_diag: GridVec
+    smoothers: tuple       # damped r -> dx steps; pre-smoothing applies
+    #                        them in order, post-smoothing in reverse
+    #                        (keeps the V-cycle symmetric)
     prolong: Callable      # from the NEXT-coarser level (None on coarsest)
     restrict: Callable
 
@@ -119,54 +298,110 @@ class Multigrid(NamedTuple):
     coarse_shape: tuple
     n_smooth: int
     omega: float
+    layout: str = "rm"
 
-    def precondition(self, r: GridVec) -> GridVec:
+    def precondition(self, r):
         return _vcycle(self, 0, r)
 
 
-def _flatten(x: GridVec):
+def _flatten(x):
     return jnp.concatenate([x.H.reshape(-1), x.V.reshape(-1)])
 
 
-def _unflatten(v, shapes):
+def _unflatten(v, shapes, layout="rm"):
     hshape, vshape = shapes
     n = int(np.prod(hshape))
+    if layout == "cl":
+        from ..methods.cells_last import GridVecCL
+        return GridVecCL(v[:n].reshape(hshape), v[n:].reshape(vshape))
     return GridVec(v[:n].reshape(hshape), v[n:].reshape(vshape))
 
 
-def _vcycle(mg: Multigrid, lvl: int, b: GridVec) -> GridVec:
+def _vcycle(mg: Multigrid, lvl: int, b):
     level = mg.levels[lvl]
     if lvl == len(mg.levels) - 1:
         # coarsest: dense Cholesky solve
         rhs = _flatten(b)
         x = jax.scipy.linalg.cho_solve((mg.coarse_chol, True),
                                        rhs[:, None])[:, 0]
-        return _unflatten(x, mg.coarse_shape)
+        return _unflatten(x, mg.coarse_shape, mg.layout)
 
-    w = mg.omega
-
-    def smooth(x, b):
-        for _ in range(mg.n_smooth):
+    def sweep(x, b, steps):
+        for s in steps:
             r = jax.tree.map(lambda bb, ss: bb - ss, b, level.apply_S(x))
-            x = jax.tree.map(lambda xx, rr, ii: xx + w * rr * ii,
-                             x, r, level.inv_diag)
+            x = jax.tree.map(lambda xx, dd: xx + dd, x, s(r))
+        return x
+
+    def smooth(x, b, steps):
+        for _ in range(mg.n_smooth):
+            x = sweep(x, b, steps)
         return x
 
     x = jax.tree.map(jnp.zeros_like, b)
-    x = smooth(x, b)
+    x = smooth(x, b, level.smoothers)
     r = jax.tree.map(lambda bb, ss: bb - ss, b, level.apply_S(x))
     rc = level.restrict(r)
     ec = _vcycle(mg, lvl + 1, rc)
     x = jax.tree.map(lambda xx, ee: xx + ee, x, level.prolong(ec))
-    x = smooth(x, b)
+    x = smooth(x, b, tuple(reversed(level.smoothers)))
     return x
 
 
-def build_multigrid(N: int, fbs: int, S_per_level, n_smooth: int = 2,
-                    omega: float = 0.67, coarsest: int = 8) -> Multigrid:
+def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
+                    domain: float = 1.0, n_smooth: int = 2,
+                    omega: float = 0.67, coarsest: int = 8,
+                    smoother: str = "block_jacobi",
+                    cut_ids_per_level=None,
+                    layout: str = "rm") -> Multigrid:
     """S_per_level: dict {n: S_n [C_n, nfd, nfd]} containing the condensed
     local Schur matrices for each mesh size n = N, N/2, ..., coarsest
-    (rediscretized; the caller assembles them)."""
+    (rediscretized; the caller assembles them).
+
+    With ``hdi`` (the HHODegreeInfo of the discretization) transfers are
+    reconstruction-based — iteration counts stay roughly flat in N;
+    ``domain`` is the domain side length (cell size = domain/n per
+    level). Without hdi, falls back to the round-1 constant-injection
+    transfers. ``smoother``: 'block_jacobi' (per-face fbs x fbs blocks)
+    or 'jacobi' (pointwise), both damped by ``omega``.
+
+    ``cut_ids_per_level`` ({n: cut cell indices}) enables the
+    interface-patch smoother (structured.make_cut_patch_smoother) on each
+    level — required for N-independent iteration counts on cut (unfitted
+    Nitsche) systems.
+
+    ``layout``: 'rm' ([C, nfd, nfd] S blocks, structured.GridVec grids) or
+    'cl' (cells-last [nfd*nfd, C] S, cells_last.GridVecCL grids — the TPU
+    bench layout; see methods/cells_last.py)."""
+    from ..methods import cells_last as cl
+    from ..methods.structured import make_cut_patch_smoother
+
+    if layout == "cl":
+        op_fn = cl.make_structured_operator_cl
+        bj_fn = cl.block_jacobi_preconditioner_cl
+        diag_fn = cl.structured_diagonal_cl
+        patch_fn = cl.make_cut_patch_smoother_cl
+        rec_prol_fn = make_reconstruction_prolongation_cl
+
+        def zeros_grid(nc):
+            return cl.GridVecCL(jnp.zeros((fbs, nc + 1, nc), dtype),
+                                jnp.zeros((fbs, nc, nc + 1), dtype))
+
+        def coarse_shapes(nc):
+            return (fbs, nc + 1, nc), (fbs, nc, nc + 1)
+    else:
+        op_fn = make_structured_operator
+        bj_fn = block_jacobi_preconditioner
+        diag_fn = structured_diagonal
+        patch_fn = make_cut_patch_smoother
+        rec_prol_fn = make_reconstruction_prolongation
+
+        def zeros_grid(nc):
+            return GridVec(jnp.zeros((nc + 1, nc, fbs), dtype),
+                           jnp.zeros((nc, nc + 1, fbs), dtype))
+
+        def coarse_shapes(nc):
+            return (nc + 1, nc, fbs), (nc, nc + 1, fbs)
+
     sizes = []
     n = N
     while n >= coarsest:
@@ -180,39 +415,59 @@ def build_multigrid(N: int, fbs: int, S_per_level, n_smooth: int = 2,
     systems = {n: make_structured_system(n, n, fbs) for n in sizes}
     for i, n in enumerate(sizes):
         sys_n = systems[n]
-        apply_S = make_structured_operator(sys_n, S_per_level[n])
-        diag = structured_diagonal(sys_n, S_per_level[n])
-        inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
+        apply_S = op_fn(sys_n, S_per_level[n])
+        if smoother == "block_jacobi":
+            base = bj_fn(sys_n, S_per_level[n])
+        else:
+            diag = diag_fn(sys_n, S_per_level[n])
+            inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
+
+            def base(r, _inv=inv_diag):
+                return jax.tree.map(lambda rr, ii: rr * ii, r, _inv)
+
+        def damped(r, _b=base, _w=omega):
+            return jax.tree.map(lambda a: _w * a, _b(r))
+
+        smoothers = (damped,)
+        if cut_ids_per_level is not None and \
+                len(cut_ids_per_level.get(n, ())) > 0:
+            patch = patch_fn(sys_n, S_per_level[n], cut_ids_per_level[n])
+            smoothers = (damped, patch)
         if i + 1 < len(sizes):
             nc = sizes[i + 1]
-            prol = make_prolongation(sys_n, systems[nc], dtype)
+            if hdi is not None:
+                prol = rec_prol_fn(sys_n, systems[nc], hdi, domain / nc,
+                                   dtype)
+            elif layout == "cl":
+                raise ValueError("layout='cl' requires hdi "
+                                 "(reconstruction-based transfers)")
+            else:
+                prol = make_prolongation(sys_n, systems[nc], dtype)
             # restriction = exact adjoint of prolongation
-            zc = GridVec(jnp.zeros((nc + 1, nc, fbs), dtype),
-                         jnp.zeros((nc, nc + 1, fbs), dtype))
-            t = jax.linear_transpose(prol, zc)
+            t = jax.linear_transpose(prol, zeros_grid(nc))
 
             def restrict(r, _t=t):
                 return _t(r)[0]
         else:
             prol, restrict = None, None
-        levels.append(MGLevel(sys_n, apply_S, inv_diag, prol, restrict))
+        levels.append(MGLevel(sys_n, apply_S, smoothers, prol,
+                              restrict))
 
     # prolong/restrict live on the FINE level towards the next-coarser one;
     # reorganize: level i uses its own prolong (to i+1). Already so.
 
     # densify the coarsest operator
     nco = sizes[-1]
-    sys_c = systems[nco]
-    hshape = (nco + 1, nco, fbs)
-    vshape = (nco, nco + 1, fbs)
+    hshape, vshape = coarse_shapes(nco)
     ntot = int(np.prod(hshape) + np.prod(vshape))
     eye = jnp.eye(ntot, dtype=dtype)
     apply_c = levels[-1].apply_S
 
     def col(v):
-        return _flatten(apply_c(_unflatten(v, (hshape, vshape))))
+        return _flatten(apply_c(_unflatten(v, (hshape, vshape), layout)))
 
     Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
     chol = jnp.linalg.cholesky(Ac)
 
-    return Multigrid(levels, chol, (hshape, vshape), n_smooth, omega)
+    return Multigrid(levels, chol, (hshape, vshape), n_smooth, omega,
+                     layout)
