@@ -1,0 +1,449 @@
+"""Flagship TPU path: fictitious-domain cutHHO Poisson on generated
+N x N meshes, solved as a cells-last condensed structured-grid system
+with a reconstruction-based multigrid preconditioner.
+
+This is the library home of the pipeline the benchmark runs (the
+reference configuration: run_cuthho_fictdom, cuthho_square.cpp:806-1080,
+on the generated quad mesh at 1024^2). It composes:
+
+- fused Pallas local assembly in its native [d*d, C] cells-last layout
+  (methods/pallas_assembly.py) with the Nitsche cut kernels overwriting
+  the cut-cell class (cut/methods.py);
+- static condensation as unrolled lane-vector Cholesky
+  (methods/cells_last.condense_cl) — no (8, 128) tile padding of small
+  trailing dims, which is what OOMed [C, 22, 22] k=2 operators at
+  1024^2;
+- **mixed precision** (first-class here; ``mixed=None`` auto-enables at
+  degree >= 2): sliver-cut Nitsche blocks have local condition
+  ~1/eps_f32 and round indefinite in f32, so the O(N) cut class is
+  classified, assembled and condensed in float64 on the host CPU
+  backend and its condensed Schur rows are spliced over the f32 ones;
+  the O(N^2) fitted path and the global solve stay f32 on TPU;
+- the gather-free face-grid PCG (methods/structured.py layout, cells
+  last) preconditioned by the reconstruction-based multigrid V-cycle
+  (solvers/multigrid.py) with the interface-patch smoother on each
+  level's cut cells; coarse levels are the *same discretization
+  rediscretized* on N/2, N/4, ... meshes (each classified/assembled by
+  this module);
+- chunked H1(grad) error against the manufactured solution
+  (fictdom_h1_error semantics, cuthho_square.cpp:1031-1050) evaluated
+  blockwise so no [C, Q, rbs, 2] intermediate materializes at 1024^2.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MATMUL_PRECISION
+from ..core import bases, quadrature
+from ..core.geometry import cell_geometry, cell_points
+from ..core.mesh import make_poly_mesh
+from ..core.ops import HHODegreeInfo, cell_rhs
+from ..methods import assembly, cells_last, condensation, pallas_assembly, \
+    poisson, structured
+from ..solvers import cg, multigrid
+from . import methods as cut_methods
+from .classify import LOC_CUT, LOC_NEG, cut_preprocess
+from .levelset import LevelSet, circle_level_set
+from .quadrature import side_cell_rule
+
+
+def _einsum(*args):
+    return jnp.einsum(*args, precision=MATMUL_PRECISION)
+
+
+def _cast32(tree):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
+def nitsche_eta(degree: int) -> float:
+    """Nitsche penalty: eta = 5 as the reference hard-codes
+    (cuthho_square.cpp:435) for k <= 1; scaled by (k+1)^2 at higher
+    degree to keep the cut blocks coercive (see CLAUDE.md)."""
+    return 5.0 if degree < 2 else 5.0 * (degree + 1) ** 2
+
+
+class FictdomProblem(NamedTuple):
+    """Manufactured problem + geometry for the fictdom driver."""
+
+    ls: LevelSet
+    rhs_fun: Callable
+    sol_fun: Callable
+    sol_grad: Callable
+
+
+def default_problem(radius: float = 0.35,
+                    center=(0.5, 0.5)) -> FictdomProblem:
+    """The reference's defaults (cuthho_square.cpp:1940-2068): circle
+    level set, u = sin(pi x) sin(pi y)."""
+    pi = np.pi
+    return FictdomProblem(
+        ls=circle_level_set(radius, *center),
+        rhs_fun=lambda p: 2.0 * pi ** 2 * jnp.sin(pi * p[..., 0]) *
+        jnp.sin(pi * p[..., 1]),
+        sol_fun=lambda p: jnp.sin(pi * p[..., 0]) *
+        jnp.sin(pi * p[..., 1]),
+        sol_grad=lambda p: jnp.stack(
+            [pi * jnp.cos(pi * p[..., 0]) * jnp.sin(pi * p[..., 1]),
+             pi * jnp.sin(pi * p[..., 0]) * jnp.cos(pi * p[..., 1])],
+            axis=-1))
+
+
+class LevelData(NamedTuple):
+    """Classified + assembled data of one mesh level."""
+
+    mesh: object
+    cutdata: object
+    cut_ids: np.ndarray
+    cond: cells_last.CondensedCL
+    # f64 host-side copies (mixed precision only; None otherwise)
+    mesh64: Optional[object] = None
+    cutdata64: Optional[object] = None
+
+
+class StructuredFictdomResult(NamedTuple):
+    local: jnp.ndarray            # [C, d] per-cell (uT, uF) dofs
+    iterations: jnp.ndarray
+    exit_reason: jnp.ndarray
+    rel_residual: jnp.ndarray
+    h1_error: Optional[jnp.ndarray]
+    timings: dict
+
+
+# ---------------------------------------------------------------------------
+# Per-level classification + assembly
+# ---------------------------------------------------------------------------
+
+
+def classify_level(N: int, problem: FictdomProblem, int_refsteps: int,
+                   mixed: bool):
+    """Mesh + level-set classification of one level. Mixed precision
+    classifies in f64 on the host CPU backend (bisection/orientation at
+    sliver cuts is itself precision-sensitive) and keeps both copies."""
+    mesh = make_poly_mesh(Nx=N, Ny=N)
+    if mixed:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            mesh64, cutdata64 = cut_preprocess(mesh, problem.ls,
+                                               levels=int_refsteps)
+        dev = jax.devices()[0]
+        mesh_f = jax.device_put(_cast32(mesh64), dev)
+        cutdata = jax.device_put(_cast32(cutdata64), dev)
+    else:
+        mesh_f, cutdata = cut_preprocess(mesh, problem.ls,
+                                         levels=int_refsteps)
+        mesh64 = cutdata64 = None
+    cut_ids = np.nonzero(np.asarray(cutdata.cell_loc) == LOC_CUT)[0]
+    return mesh_f, cutdata, cut_ids, mesh64, cutdata64
+
+
+@functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
+                                             "use_pallas", "with_rhs",
+                                             "side"))
+def _assemble_level_cl(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
+                       problem: FictdomProblem, eta: float,
+                       use_pallas: bool, with_rhs: bool,
+                       side: int = LOC_NEG):
+    """(lc_cl [d*d, C], f_cl [cbs, C]) of the fictdom problem: fitted
+    operators everywhere (the uncut fallback, cuthho_square.cpp:316-317),
+    Nitsche cut kernels overwriting the cut-cell class."""
+    if use_pallas:
+        lc_cl = pallas_assembly.fitted_local_operator(mesh, geom, hdi,
+                                                      cells_last=True)
+    else:
+        _, lc = poisson.assemble_local_chunked(mesh, geom, hdi, "naive",
+                                               16384)
+        C, d, _ = lc.shape
+        lc_cl = jnp.transpose(lc, (1, 2, 0)).reshape(d * d, C)
+
+    _, data_cut = cut_methods.cut_hho_laplacian(batch, problem.ls, hdi,
+                                                side, eta=eta)
+    stab_cut = cut_methods.cut_stabilization(batch, hdi, side)
+    lc_cut = data_cut + stab_cut                       # [Cc, d, d]
+    d = lc_cut.shape[1]
+    lc_cl = lc_cl.at[:, batch.ids].set(
+        jnp.transpose(lc_cut, (1, 2, 0)).reshape(d * d, -1))
+
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    if with_rhs:
+        f_std = cell_rhs(mesh, geom, hdi.cell_degree, problem.rhs_fun)
+        f = jnp.where((cutdata.cell_loc == side)[:, None], f_std, 0.0)
+        f_cut = cut_methods.cut_rhs(batch, hdi.cell_degree,
+                                    problem.rhs_fun, problem.ls,
+                                    problem.sol_fun, side, eta=eta)
+        f_cl = f.at[batch.ids].set(f_cut).T
+    else:
+        f_cl = jnp.zeros((cbs, mesh.num_cells), lc_cl.dtype)
+    return cells_last.condense_cl(lc_cl, f_cl, cbs)
+
+
+def _cut64_condensed(mesh64, cutdata64, cut_ids, hdi, problem, eta,
+                     with_rhs, side=LOC_NEG):
+    """Mixed-precision splice: the cut class assembled + condensed in f64
+    on the host CPU backend, returned as f32 cells-last columns."""
+    cpu = jax.devices("cpu")[0]
+
+    @functools.partial(jax.jit, static_argnames=())
+    def impl(mesh64, cutdata64):
+        geom64 = cell_geometry(mesh64)
+        batch64 = cut_methods.make_cut_batch(mesh64, geom64, cutdata64,
+                                             cut_ids)
+        _, data_cut = cut_methods.cut_hho_laplacian(
+            batch64, problem.ls, hdi, side, eta=eta)
+        stab_cut = cut_methods.cut_stabilization(batch64, hdi, side)
+        lc_cut = data_cut + stab_cut
+        if with_rhs:
+            f_cut = cut_methods.cut_rhs(batch64, hdi.cell_degree,
+                                        problem.rhs_fun, problem.ls,
+                                        problem.sol_fun, side, eta=eta)
+        else:
+            cbs = bases.cell_basis_size(hdi.cell_degree)
+            f_cut = jnp.zeros((lc_cut.shape[0], cbs), lc_cut.dtype)
+        cbs = bases.cell_basis_size(hdi.cell_degree)
+        cond = condensation.condense(lc_cut, f_cut, cbs, robust=True)
+        return cond
+
+    with jax.default_device(cpu):
+        cond64 = impl(mesh64, cutdata64)
+        jax.block_until_ready(cond64.S)
+    dev = jax.devices()[0]
+    cond32 = jax.device_put(_cast32(cond64), dev)
+    return cells_last.from_row_major(cond32)
+
+
+def build_level(N: int, hdi: HHODegreeInfo, problem: FictdomProblem,
+                eta: float, int_refsteps: int, mixed: bool,
+                use_pallas: bool, with_rhs: bool) -> LevelData:
+    """Classify + assemble + condense one level (cells-last)."""
+    mesh, cutdata, cut_ids, mesh64, cutdata64 = classify_level(
+        N, problem, int_refsteps, mixed)
+    geom = jax.jit(cell_geometry)(mesh)
+    batch = jax.jit(cut_methods.make_cut_batch)(mesh, geom, cutdata,
+                                                cut_ids)
+    cond = _assemble_level_cl(mesh, geom, cutdata, batch, hdi, problem,
+                              eta, use_pallas, with_rhs)
+    if mixed:
+        sub = _cut64_condensed(mesh64, cutdata64, cut_ids, hdi, problem,
+                               eta, with_rhs)
+        cond = cells_last.set_cells(cond, cut_ids, sub)
+    return LevelData(mesh, cutdata, cut_ids, cond, mesh64, cutdata64)
+
+
+# ---------------------------------------------------------------------------
+# Solve
+# ---------------------------------------------------------------------------
+
+
+def _mg_sizes(N: int, coarsest: int):
+    sizes = []
+    n = N
+    while n >= coarsest:
+        sizes.append(n)
+        if n == coarsest:
+            break
+        n //= 2
+    return sizes
+
+
+def expand_ring(ids: np.ndarray, n: int, ring: int = 1) -> np.ndarray:
+    """Cell ids on the n x n grid expanded by ``ring`` layers of
+    neighbors (the patch smoother support: cut cells + surrounding
+    cells whose faces see the Nitsche coupling)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if ring == 0 or len(ids) == 0:
+        return ids
+    jj, ii = ids // n, ids % n
+    out = []
+    for dj in range(-ring, ring + 1):
+        for di in range(-ring, ring + 1):
+            j2, i2 = jj + dj, ii + di
+            ok = (j2 >= 0) & (j2 < n) & (i2 >= 0) & (i2 < n)
+            out.append(j2[ok] * n + i2[ok])
+    return np.unique(np.concatenate(out))
+
+
+def solve_fictdom_structured(
+        N: int, degree: int, problem: Optional[FictdomProblem] = None,
+        int_refsteps: int = 4, precond: str = "mg",
+        mixed: Optional[bool] = None, use_pallas: Optional[bool] = None,
+        cg_params: Optional[cg.CGParams] = None, mg_coarsest: int = 8,
+        n_smooth: int = 1, patch_ring: int = 0, compute_h1: bool = True,
+        side: int = LOC_NEG) -> StructuredFictdomResult:
+    """End-to-end fictdom solve on the generated N x N mesh (module
+    docstring). ``precond``: 'mg' (reconstruction-transfer V-cycle with
+    interface-patch smoothing), 'block_jacobi', or 'jacobi' (the
+    reference's PCG preconditioner, solver_cg.hpp:63-144)."""
+    if problem is None:
+        problem = default_problem()
+    if mixed is None:
+        mixed = degree >= 2
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if cg_params is None:
+        cg_params = cg.CGParams(convergence_threshold=1e-6,
+                                divergence_threshold=1e8,
+                                max_iter=50000,
+                                apply_preconditioner=True)
+    hdi = HHODegreeInfo(degree + 1, degree)
+    eta = nitsche_eta(degree)
+    timings = {}
+
+    t0 = time.perf_counter()
+    fine = build_level(N, hdi, problem, eta, int_refsteps, mixed,
+                       use_pallas, with_rhs=True)
+    jax.block_until_ready(fine.cond.S)
+    timings["assemble_fine_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    S_levels, cut_levels = {N: fine.cond.S}, {N: fine.cut_ids}
+    if precond == "mg":
+        for n in _mg_sizes(N, mg_coarsest)[1:]:
+            lev = build_level(n, hdi, problem, eta, int_refsteps, mixed,
+                              use_pallas, with_rhs=False)
+            S_levels[n] = lev.cond.S
+            cut_levels[n] = lev.cut_ids
+    jax.block_until_ready(S_levels[min(S_levels)])
+    timings["assemble_coarse_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dofmap = assembly.build_dofmap(fine.mesh, hdi)
+    sizes = tuple(sorted(S_levels))
+    local, iters, exit_reason, rel = _solve_jit(
+        fine.mesh, dofmap, fine.cond,
+        tuple(S_levels[n] for n in sizes), sizes=sizes,
+        hdi=hdi, problem=problem, precond=precond,
+        cut_levels=tuple(
+            (n, tuple(int(i) for i in
+                      expand_ring(cut_levels[n], n, patch_ring)))
+            for n in sizes),
+        mg_coarsest=mg_coarsest, n_smooth=n_smooth, cg_params=cg_params)
+    jax.block_until_ready(local)
+    timings["solve_s"] = time.perf_counter() - t0
+
+    h1 = None
+    if compute_h1:
+        t0 = time.perf_counter()
+        geom = jax.jit(cell_geometry)(fine.mesh)
+        batch = jax.jit(cut_methods.make_cut_batch)(
+            fine.mesh, geom, fine.cutdata, fine.cut_ids)
+        h1 = fictdom_h1_error_chunked(fine.mesh, geom, batch,
+                                      fine.cutdata, hdi, local,
+                                      problem.sol_grad, side)
+        jax.block_until_ready(h1)
+        timings["h1_s"] = time.perf_counter() - t0
+
+    return StructuredFictdomResult(local, iters, exit_reason, rel, h1,
+                                   timings)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem",
+                                             "precond", "cut_levels",
+                                             "mg_coarsest", "n_smooth",
+                                             "cg_params"))
+def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
+               precond, cut_levels, mg_coarsest, n_smooth, cg_params):
+    """One compiled graph: Dirichlet fold, MG build (all setup math is
+    traced), PCG, cell recovery. S_list: S_cl arrays matching the static
+    ``sizes`` (ascending); the largest is the fine level."""
+    S_levels = dict(zip(sizes, S_list))
+    N = max(S_levels)
+    fbs = bases.face_basis_size(hdi.face_degree)
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    sys_f = structured.make_structured_system(N, N, fbs)
+
+    fd = assembly.dirichlet_face_data(mesh, hdi, problem.sol_fun)
+    g_loc = assembly.local_dirichlet_data(dofmap, mesh, fd)
+    gF_cl = g_loc[:, cbs:].T
+
+    rhs = cells_last.structured_rhs_cl(sys_f, cond, gF_cl)
+    apply_S = cells_last.make_structured_operator_cl(sys_f, cond.S)
+
+    if precond == "mg":
+        cuts = {n: np.asarray(ids, dtype=np.int64)
+                for n, ids in cut_levels}
+        mg = multigrid.build_multigrid(
+            N, fbs, S_levels, hdi=hdi, coarsest=mg_coarsest,
+            n_smooth=n_smooth, cut_ids_per_level=cuts, layout="cl")
+        res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
+                                     precond=mg.precondition)
+    elif precond == "block_jacobi":
+        bj = cells_last.block_jacobi_preconditioner_cl(sys_f, cond.S)
+        res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
+                                     precond=bj)
+    else:
+        diag = cells_last.structured_diagonal_cl(sys_f, cond.S)
+        res = cg.conjugated_gradient(apply_S, rhs, diag, cg_params)
+
+    local = cells_last.solve_recover_cl(sys_f, cond, res.x, gF_cl)
+    return local, res.iterations, res.exit_reason, res.rel_residual
+
+
+# ---------------------------------------------------------------------------
+# Chunked H1 error
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("hdi", "sol_grad", "side",
+                                             "chunk"))
+def fictdom_h1_error_chunked(mesh, geom, batch, cutdata,
+                             hdi: HHODegreeInfo, local, sol_grad,
+                             side: int = LOC_NEG, chunk: int = 65536):
+    """H1(grad) error over the physical side (fictdom_h1_error,
+    cuthho_square.cpp:1031-1050), with the fitted-cell part evaluated in
+    cell blocks via lax.map so the [C, Q, rbs, 2] gradient tensor never
+    materializes at bench scale."""
+    celdeg = hdi.cell_degree
+    cbs = bases.cell_basis_size(celdeg)
+    cdofs = local[:, :cbs]
+    C = mesh.num_cells
+    bs = min(chunk, C)
+    nb = -(-C // bs)
+    Cpad = nb * bs
+
+    def pad(a, fill=0):
+        if Cpad == C:
+            return a
+        padw = [(0, Cpad - C)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, padw, constant_values=fill)
+
+    cp = cell_points(mesh)[:, :4, :]
+    blocks = (pad(cp).reshape(nb, bs, 4, 2),
+              pad(geom.bar).reshape(nb, bs, 2),
+              pad(geom.diam).reshape(nb, bs),
+              pad(cdofs).reshape(nb, bs, cbs),
+              pad(cutdata.cell_loc == side).reshape(nb, bs))
+
+    def block_err(blk):
+        cp_b, bar_b, diam_b, dofs_b, mask_b = blk
+        rule = quadrature.quad_cell_rule(cp_b, 2 * celdeg)
+        dphi = bases.eval_cell_gradients(rule.pts, bar_b[:, None, :],
+                                         diam_b[:, None], celdeg)
+        gh = _einsum("cqix,ci->cqx", dphi[:, :, 1:, :], dofs_b[:, 1:])
+        ge = sol_grad(rule.pts)
+        per_cell = jnp.sum(rule.w * jnp.sum((ge - gh) ** 2, axis=-1),
+                           axis=1)
+        return jnp.sum(jnp.where(mask_b, per_cell, 0.0))
+
+    err = jnp.sum(jax.lax.map(block_err, blocks))
+
+    # cut cells on their side quadrature (small batch; direct)
+    poly = cut_methods.side_polygon(batch, side)
+    crule = side_cell_rule(poly, 2 * celdeg)
+    g = batch.geom
+    cdphi = bases.eval_cell_gradients(crule.pts, g.bar[:, None, :],
+                                      g.diam[:, None], celdeg)
+    cgh = _einsum("cqix,ci->cqx", cdphi[:, :, 1:, :],
+                  cdofs[batch.ids][:, 1:])
+    cge = sol_grad(crule.pts)
+    err = err + jnp.sum(crule.w * jnp.sum((cge - cgh) ** 2, axis=-1))
+    return jnp.sqrt(err)

@@ -346,6 +346,8 @@ def fused_local_operator(corners, bar, diam, meas, normals, fgeo,
         out_shape=jax.ShapeDtypeStruct((d * d, C), corners.dtype),
         interpret=interpret,
     )(corners, bar, diam, meas, normals, fgeo)
+    if cells_last:
+        return out
     return jnp.transpose(out.reshape(d, d, C), (2, 0, 1))
 
 
@@ -379,14 +381,16 @@ def pack_inputs(mesh, geom):
 
 
 def fitted_local_operator(mesh, geom, hdi: HHODegreeInfo,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          cells_last: bool = False):
     """Drop-in fused replacement for
     ``poisson.assemble_local(mesh, geom, hdi, "naive")[1]`` on all-quad
-    meshes."""
+    meshes. With ``cells_last``, returns [d*d, C] (the kernel's native
+    layout; see methods/cells_last.py) instead of [C, d, d]."""
     if not (mesh.kind == "quad" or mesh.all_quads):
         raise ValueError("fused kernel requires quadrilateral cells")
     corners, bar, diam, meas, normals, fgeo, C = pack_inputs(mesh, geom)
     lc = fused_local_operator(corners, bar, diam, meas, normals, fgeo,
                               hdi.cell_degree, hdi.face_degree,
-                              interpret=interpret)
-    return lc[:C]
+                              interpret=interpret, cells_last=cells_last)
+    return lc[:, :C] if cells_last else lc[:C]
