@@ -123,6 +123,18 @@ def test_interface_convergence(k):
     assert order > k + 1 - 0.35, f"k={k} order={order}"
 
 
+def test_interface_k2_convergence():
+    """`cuthho_square -i -k 2`: H1 order 3 over both sides (f64; the
+    doubled cut blocks need the same precision care as fictdom k=2)."""
+    errs = []
+    for N in [8, 16]:
+        res = interface_problem.run_interface(N, 2)
+        assert int(res.exit_reason) == 0
+        errs.append(float(res.h1_error))
+    order = np.log2(errs[0] / errs[1])
+    assert order > 3 - 0.35, f"k=2 order={order}"
+
+
 def test_interface_kappa_contrast_runs():
     """kappa_1 != kappa_2 assembles and solves (continuous manufactured
     solution no longer matches the jump conditions, so no order check —

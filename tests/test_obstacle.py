@@ -6,16 +6,31 @@ import pytest
 
 from proton_tpu.methods import obstacle
 
-# energy-norm errors from apps/obstacle/results/convergence.txt:1-3
+# energy-norm errors from apps/obstacle/results/convergence.txt:1-5
 REFERENCE_TABLE = {
     0: {8: 2.26205, 16: 1.2833, 32: 0.650286},
     1: {8: 0.197735, 16: 0.0588187, 32: 0.0171607},
+}
+REFERENCE_TABLE_LARGE = {
+    0: {64: 0.326314, 128: 0.163344},
+    1: {64: 0.00529786, 128: 0.00168321},
 }
 
 
 @pytest.mark.parametrize("k", [0, 1])
 def test_obstacle_matches_reference_table(k):
     for N, ref in REFERENCE_TABLE[k].items():
+        res = obstacle.run_obstacle(N, k)
+        assert bool(res.converged)
+        err = float(res.energy_error)
+        assert abs(err - ref) / ref < 1e-4, (N, k, err, ref)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("k", [0, 1])
+def test_obstacle_matches_reference_table_large(k):
+    """convergence.txt rows N=64,128 (apps/obstacle/results/convergence.txt:4-5)."""
+    for N, ref in REFERENCE_TABLE_LARGE[k].items():
         res = obstacle.run_obstacle(N, k)
         assert bool(res.converged)
         err = float(res.energy_error)
