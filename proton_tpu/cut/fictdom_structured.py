@@ -128,17 +128,19 @@ class StructuredFictdomResult(NamedTuple):
 def classify_level(N: int, problem: FictdomProblem, int_refsteps: int,
                    mixed: bool):
     """Mesh + level-set classification of one level. Mixed precision
-    classifies in f64 on the host CPU backend (bisection/orientation at
-    sliver cuts is itself precision-sensitive) and keeps both copies."""
+    classifies in f64 (bisection/orientation at sliver cuts is itself
+    precision-sensitive) and keeps both copies. The f64 work runs on the
+    default backend — on TPU that is the pairs-of-f32 emulation, which
+    for the O(N) cut class costs less than shipping it to the host."""
     mesh = make_poly_mesh(Nx=N, Ny=N)
     if mixed:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            mesh64, cutdata64 = cut_preprocess(mesh, problem.ls,
-                                               levels=int_refsteps)
-        dev = jax.devices()[0]
-        mesh_f = jax.device_put(_cast32(mesh64), dev)
-        cutdata = jax.device_put(_cast32(cutdata64), dev)
+        if not jax.config.jax_enable_x64:
+            raise ValueError("mixed precision requires PROTON_TPU_X64=1 "
+                             "(jax_enable_x64)")
+        mesh64, cutdata64 = cut_preprocess(mesh, problem.ls,
+                                           levels=int_refsteps)
+        mesh_f = _cast32(mesh64)
+        cutdata = _cast32(cutdata64)
     else:
         mesh_f, cutdata = cut_preprocess(mesh, problem.ls,
                                          levels=int_refsteps)
@@ -187,38 +189,36 @@ def _assemble_level_cl(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
     return cells_last.condense_cl(lc_cl, f_cl, cbs)
 
 
+@functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
+                                             "with_rhs", "side"))
+def _cut64_impl(mesh64, cutdata64, cut_ids, *, hdi, problem, eta,
+                with_rhs, side=LOC_NEG):
+    geom64 = cell_geometry(mesh64)
+    batch64 = cut_methods.make_cut_batch(mesh64, geom64, cutdata64,
+                                         cut_ids)
+    _, data_cut = cut_methods.cut_hho_laplacian(
+        batch64, problem.ls, hdi, side, eta=eta)
+    stab_cut = cut_methods.cut_stabilization(batch64, hdi, side)
+    lc_cut = data_cut + stab_cut
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    if with_rhs:
+        f_cut = cut_methods.cut_rhs(batch64, hdi.cell_degree,
+                                    problem.rhs_fun, problem.ls,
+                                    problem.sol_fun, side, eta=eta)
+    else:
+        f_cut = jnp.zeros((lc_cut.shape[0], cbs), lc_cut.dtype)
+    cond = condensation.condense(lc_cut, f_cut, cbs, robust=True)
+    return cells_last.from_row_major(_cast32(cond))
+
+
 def _cut64_condensed(mesh64, cutdata64, cut_ids, hdi, problem, eta,
                      with_rhs, side=LOC_NEG):
-    """Mixed-precision splice: the cut class assembled + condensed in f64
-    on the host CPU backend, returned as f32 cells-last columns."""
-    cpu = jax.devices("cpu")[0]
-
-    @functools.partial(jax.jit, static_argnames=())
-    def impl(mesh64, cutdata64):
-        geom64 = cell_geometry(mesh64)
-        batch64 = cut_methods.make_cut_batch(mesh64, geom64, cutdata64,
-                                             cut_ids)
-        _, data_cut = cut_methods.cut_hho_laplacian(
-            batch64, problem.ls, hdi, side, eta=eta)
-        stab_cut = cut_methods.cut_stabilization(batch64, hdi, side)
-        lc_cut = data_cut + stab_cut
-        if with_rhs:
-            f_cut = cut_methods.cut_rhs(batch64, hdi.cell_degree,
-                                        problem.rhs_fun, problem.ls,
-                                        problem.sol_fun, side, eta=eta)
-        else:
-            cbs = bases.cell_basis_size(hdi.cell_degree)
-            f_cut = jnp.zeros((lc_cut.shape[0], cbs), lc_cut.dtype)
-        cbs = bases.cell_basis_size(hdi.cell_degree)
-        cond = condensation.condense(lc_cut, f_cut, cbs, robust=True)
-        return cond
-
-    with jax.default_device(cpu):
-        cond64 = impl(mesh64, cutdata64)
-        jax.block_until_ready(cond64.S)
-    dev = jax.devices()[0]
-    cond32 = jax.device_put(_cast32(cond64), dev)
-    return cells_last.from_row_major(cond32)
+    """Mixed-precision splice: the O(N) cut class assembled + condensed
+    in f64 on the default backend (TPU: pairs-of-f32 emulation), rounded
+    to f32 cells-last columns after the unstable condensation step."""
+    return _cut64_impl(mesh64, cutdata64, jnp.asarray(cut_ids), hdi=hdi,
+                       problem=problem, eta=eta, with_rhs=with_rhs,
+                       side=side)
 
 
 def build_level(N: int, hdi: HHODegreeInfo, problem: FictdomProblem,
@@ -277,12 +277,19 @@ def solve_fictdom_structured(
         int_refsteps: int = 4, precond: str = "mg",
         mixed: Optional[bool] = None, use_pallas: Optional[bool] = None,
         cg_params: Optional[cg.CGParams] = None, mg_coarsest: int = 8,
-        n_smooth: int = 1, patch_ring: int = 0, compute_h1: bool = True,
+        n_smooth: int = 1, patch_ring: int = 0, mg_f32: bool = False,
+        compute_h1: bool = True,
         side: int = LOC_NEG) -> StructuredFictdomResult:
     """End-to-end fictdom solve on the generated N x N mesh (module
     docstring). ``precond``: 'mg' (reconstruction-transfer V-cycle with
     interface-patch smoothing), 'block_jacobi', or 'jacobi' (the
-    reference's PCG preconditioner, solver_cg.hpp:63-144)."""
+    reference's PCG preconditioner, solver_cg.hpp:63-144).
+
+    ``mg_f32``: build + apply the V-cycle in float32 even when the
+    system is float64 — the *accurate mode* recipe for TPU: assembly,
+    condensation, matvec and CG recurrences in (emulated) f64 so the
+    solution carries discretization-level accuracy, with the
+    preconditioner — most of the flops — on the fast f32 path."""
     if problem is None:
         problem = default_problem()
     if mixed is None:
@@ -326,7 +333,8 @@ def solve_fictdom_structured(
             (n, tuple(int(i) for i in
                       expand_ring(cut_levels[n], n, patch_ring)))
             for n in sizes),
-        mg_coarsest=mg_coarsest, n_smooth=n_smooth, cg_params=cg_params)
+        mg_coarsest=mg_coarsest, n_smooth=n_smooth, mg_f32=mg_f32,
+        cg_params=cg_params)
     jax.block_until_ready(local)
     timings["solve_s"] = time.perf_counter() - t0
 
@@ -349,9 +357,10 @@ def solve_fictdom_structured(
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem",
                                              "precond", "cut_levels",
                                              "mg_coarsest", "n_smooth",
-                                             "cg_params"))
+                                             "mg_f32", "cg_params"))
 def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
-               precond, cut_levels, mg_coarsest, n_smooth, cg_params):
+               precond, cut_levels, mg_coarsest, n_smooth, cg_params,
+               mg_f32=False):
     """One compiled graph: Dirichlet fold, MG build (all setup math is
     traced), PCG, cell recovery. S_list: S_cl arrays matching the static
     ``sizes`` (ascending); the largest is the fine level."""
@@ -371,11 +380,23 @@ def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
     if precond == "mg":
         cuts = {n: np.asarray(ids, dtype=np.int64)
                 for n, ids in cut_levels}
+        mg_S = S_levels
+        if mg_f32:
+            mg_S = {n: S.astype(jnp.float32) for n, S in S_levels.items()}
         mg = multigrid.build_multigrid(
-            N, fbs, S_levels, hdi=hdi, coarsest=mg_coarsest,
+            N, fbs, mg_S, hdi=hdi, coarsest=mg_coarsest,
             n_smooth=n_smooth, cut_ids_per_level=cuts, layout="cl")
+        if mg_f32 and cond.S.dtype != jnp.float32:
+            dt = cond.S.dtype
+
+            def precondition(r, _mg=mg, _dt=dt):
+                r32 = jax.tree.map(lambda a: a.astype(jnp.float32), r)
+                z32 = _mg.precondition(r32)
+                return jax.tree.map(lambda a: a.astype(_dt), z32)
+        else:
+            precondition = mg.precondition
         res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
-                                     precond=mg.precondition)
+                                     precond=precondition)
     elif precond == "block_jacobi":
         bj = cells_last.block_jacobi_preconditioner_cl(sys_f, cond.S)
         res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
@@ -397,11 +418,16 @@ def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
                                              "chunk"))
 def fictdom_h1_error_chunked(mesh, geom, batch, cutdata,
                              hdi: HHODegreeInfo, local, sol_grad,
-                             side: int = LOC_NEG, chunk: int = 65536):
+                             side: int = LOC_NEG, chunk: int = 65536,
+                             cut_valid=None):
     """H1(grad) error over the physical side (fictdom_h1_error,
     cuthho_square.cpp:1031-1050), with the fitted-cell part evaluated in
     cell blocks via lax.map so the [C, Q, rbs, 2] gradient tensor never
-    materializes at bench scale."""
+    materializes at bench scale.
+
+    ``cut_valid`` ([Cc] bool): with a fixed-capacity padded cut batch
+    (cut/batched.py) the sentinel rows carry garbage — mask their
+    contribution out of the cut-side integral."""
     celdeg = hdi.cell_degree
     cbs = bases.cell_basis_size(celdeg)
     cdofs = local[:, :cbs]
@@ -445,5 +471,9 @@ def fictdom_h1_error_chunked(mesh, geom, batch, cutdata,
     cgh = _einsum("cqix,ci->cqx", cdphi[:, :, 1:, :],
                   cdofs[batch.ids][:, 1:])
     cge = sol_grad(crule.pts)
-    err = err + jnp.sum(crule.w * jnp.sum((cge - cgh) ** 2, axis=-1))
+    cut_contrib = jnp.sum(crule.w * jnp.sum((cge - cgh) ** 2, axis=-1),
+                          axis=-1)
+    if cut_valid is not None:
+        cut_contrib = jnp.where(cut_valid, cut_contrib, 0.0)
+    err = err + jnp.sum(cut_contrib)
     return jnp.sqrt(err)
