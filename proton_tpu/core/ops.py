@@ -132,9 +132,15 @@ def robust_spd_solve(A, B):
     tr = jnp.trace(A, axis1=-2, axis2=-1) / A.shape[-1]
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
     A_reg = A + (16.0 * eps * tr)[..., None, None] * eye
-    X_lu = jnp.linalg.solve(A_reg, B)
+    if A.dtype == jnp.float64:
+        # XLA:TPU has no f64 LuDecomposition; the shifted Cholesky is an
+        # equivalent fallback here (the blocks are SPD at f64 rounding —
+        # the LU branch exists for f32, where they can round indefinite)
+        X_fb = equilibrated_cho_solve(A_reg, B)
+    else:
+        X_fb = jnp.linalg.solve(A_reg, B)
     bad = jnp.any(jnp.isnan(X_chol), axis=(-2, -1), keepdims=True)
-    return jnp.where(bad, X_lu, X_chol)
+    return jnp.where(bad, X_fb, X_chol)
 
 
 def project_function(mesh, geom: CellGeom, hdi: HHODegreeInfo, f,

@@ -21,7 +21,7 @@ from ..config import MATMUL_PRECISION
 from ..core import bases
 from ..core.geometry import CellGeom
 from ..core.ops import HHODegreeInfo, cho_solve_batched, \
-    equilibrated_cho_solve, _face_basis_data
+    equilibrated_cho_solve, robust_spd_solve, _face_basis_data
 from .classify import CutData, LOC_CUT, LOC_NEG, LOC_POS
 from .levelset import LevelSet
 from .quadrature import SidePolygon, interface_rule, side_cell_rule, \
@@ -190,14 +190,7 @@ def cut_hho_laplacian(batch: CutCellBatch, ls: LevelSet,
     # k=2); cells whose Cholesky NaNs fall back to a pivoted LU of a
     # trace-eps-shifted copy — a perturbation at the dtype's rounding
     # level, never selected in f64.
-    oper_chol = equilibrated_cho_solve(stiff, gr_rhs)
-    eps = jnp.finfo(stiff.dtype).eps
-    tr = _einsum("cii->c", stiff) / stiff.shape[-1]
-    shift = 16.0 * eps * tr
-    eye = jnp.eye(stiff.shape[-1], dtype=stiff.dtype)
-    oper_lu = jnp.linalg.solve(stiff + shift[:, None, None] * eye, gr_rhs)
-    bad = jnp.any(jnp.isnan(oper_chol), axis=(1, 2))
-    oper = jnp.where(bad[:, None, None], oper_lu, oper_chol)
+    oper = robust_spd_solve(stiff, gr_rhs)
     data = _einsum("crm,crn->cmn", gr_rhs, oper)
     return oper, data
 
@@ -357,7 +350,9 @@ def interface_laplacian(batch: CutCellBatch, ls: LevelSet,
     v = v.at[0].set(1.0).at[rbs].set(1.0)
     sigma = jnp.einsum("cii->c", stiff) / (2 * rbs)
     stiff_reg = stiff + sigma[:, None, None] * (v[:, None] * v[None, :])
-    oper = jnp.linalg.solve(stiff_reg, gr_rhs)
+    # SPD after the rank-one fix; robust_spd_solve avoids f64 LU (which
+    # XLA:TPU cannot expand) and keeps the f32 fallback semantics
+    oper = robust_spd_solve(stiff_reg, gr_rhs)
     data = _einsum("crm,crn->cmn", gr_rhs, oper)
     return oper, data
 
