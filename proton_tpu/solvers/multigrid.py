@@ -146,7 +146,11 @@ def _transfer_slot_matrices(hdi, h: float, dtype):
     nfd = 4 * fbs
     d = cbs + nfd
 
-    T = -jnp.linalg.solve(lc[:cbs, :cbs], lc[:cbs, cbs:])   # [cbs, nfd]
+    # Cholesky (ATT is SPD, as in condensation.condense): XLA:TPU has no
+    # f64 LuDecomposition
+    chol_TT = jnp.linalg.cholesky(lc[:cbs, :cbs])
+    T = -jax.scipy.linalg.cho_solve((chol_TT, True),
+                                    lc[:cbs, cbs:])          # [cbs, nfd]
     Vmap = jnp.concatenate([T, jnp.eye(nfd, dtype=lc.dtype)], axis=0)
 
     # full reconstruction: rows 1: are the gradient-reconstruction
@@ -178,7 +182,8 @@ def _transfer_slot_matrices(hdi, h: float, dtype):
         rphiF = bases.eval_cell_basis(frule.pts, bar_c, diam_c, recdeg)
         Mf = jnp.einsum("q,qi,qj->ij", frule.w, fphi, fphi)
         B = jnp.einsum("q,qi,qr->ir", frule.w, fphi, rphiF)
-        return jnp.linalg.solve(Mf, B) @ recmap               # [fbs, nfd]
+        cf = jnp.linalg.cholesky(Mf)             # SPD face mass matrix
+        return jax.scipy.linalg.cho_solve((cf, True), B) @ recmap
 
     hh = h / 2.0
     MH = jnp.stack([
@@ -351,7 +356,7 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                     domain: float = 1.0, n_smooth: int = 2,
                     omega: float = 0.67, coarsest: int = 8,
                     smoother: str = "block_jacobi",
-                    cut_ids_per_level=None,
+                    cut_ids_per_level=None, patch_sweeps: int = 1,
                     layout: str = "rm") -> Multigrid:
     """S_per_level: dict {n: S_n [C_n, nfd, nfd]} containing the condensed
     local Schur matrices for each mesh size n = N, N/2, ..., coarsest
@@ -432,7 +437,11 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
         if cut_ids_per_level is not None and \
                 len(cut_ids_per_level.get(n, ())) > 0:
             patch = patch_fn(sys_n, S_per_level[n], cut_ids_per_level[n])
-            smoothers = (damped, patch)
+            # error components local to the sliver-cut Nitsche cells are
+            # invisible both to Jacobi and to the (differently cut)
+            # coarse level; extra interface sweeps are cheap (the patch
+            # batch is O(N) cells) and cut iteration counts hard
+            smoothers = (damped,) + (patch,) * patch_sweeps
         if i + 1 < len(sizes):
             nc = sizes[i + 1]
             if hdi is not None:
