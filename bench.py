@@ -7,20 +7,29 @@ Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 Environment knobs:
-  PROTON_BENCH_N       mesh subdivisions per side (default 1024)
-  PROTON_BENCH_K       method degree (default 1)
-  PROTON_BENCH_TOL     CG relative tolerance (default 1e-6)
-  PROTON_BENCH_MIXED   force mixed precision (automatic for k >= 2)
-  PROTON_TPU_PLATFORM  backend override (default: real TPU)
+  PROTON_BENCH_N        mesh subdivisions per side (default 1024)
+  PROTON_BENCH_K        method degree (default 1)
+  PROTON_BENCH_TOL      CG relative tolerance (default 1e-6)
+  PROTON_BENCH_PRECOND  mg (default) | block_jacobi | jacobi
+  PROTON_BENCH_PRECISION
+      f32 (default at k <= 1): pure float32 — f32-safe at low degree.
+      mixed (default at k >= 2): f32 pipeline with the O(N) cut-cell
+          class assembled + condensed in f64 (the sliver-cut Nitsche
+          blocks round indefinite in f32). H1 carries the f32
+          fitted-assembly noise floor (~2e-5 * 2N, see CLAUDE.md).
+      f64 (accurate mode): assembly, condensation, matvec and CG in
+          (TPU-emulated) f64 with the FLOAT32 multigrid V-cycle as
+          preconditioner — discretization-accurate H1 at bench scale.
+      f32: pure float32 (k <= 1 only; accuracy diagnostics).
+  PROTON_BENCH_H1       compute the H1(grad) error vs the manufactured
+                        solution (default 1)
+  PROTON_TPU_PLATFORM   backend override (default: real TPU)
 
-k <= 1 runs pure float32 on TPU. k >= 2 runs *mixed precision*: the
-sliver-cut local Nitsche blocks round to indefinite in f32 (local
-condition ~1/eps_f32, see CLAUDE.md), so the O(N) cut-cell class is
-classified, assembled and condensed in float64 on the host CPU backend
-while the O(N^2) fitted path (fused Pallas kernel) and the global CG stay
-float32 on TPU. The fitted local-operator build streams cell blocks with
-cells in the lane dimension (methods/pallas_assembly.py); the solve is
-the statically condensed face-grid PCG (methods/structured.py).
+Pipeline (cut/fictdom_structured.py — the library flagship path):
+fused Pallas local assembly in cells-last [d*d, C] layout, unrolled
+lane-vector static condensation, f64 cut-cell class spliced in, and the
+gather-free face-grid PCG preconditioned by the reconstruction-transfer
+multigrid V-cycle with interface-patch smoothing.
 """
 
 import json
@@ -28,10 +37,16 @@ import os
 import sys
 import time
 
-# k <= 1: pure f32 (fastest). k >= 2: mixed precision (f64 cut class).
 _BENCH_K = int(os.environ.get("PROTON_BENCH_K", "1"))
-_MIXED = _BENCH_K >= 2 or os.environ.get("PROTON_BENCH_MIXED") == "1"
-os.environ.setdefault("PROTON_TPU_X64", "1" if _MIXED else "0")
+# k <= 1 is f32-safe end to end (round-1 result, CLAUDE.md); the f64 cut
+# class only becomes necessary at k >= 2 (sliver Nitsche blocks round
+# indefinite in f32)
+_PRECISION = os.environ.get("PROTON_BENCH_PRECISION",
+                            "f32" if _BENCH_K <= 1 else "mixed")
+assert _PRECISION in ("mixed", "f64", "f32"), _PRECISION
+_MIXED = _PRECISION == "mixed"
+os.environ.setdefault("PROTON_TPU_X64",
+                      "0" if _PRECISION == "f32" else "1")
 
 import numpy as np  # noqa: E402
 
@@ -46,177 +61,114 @@ try:  # persistent compilation cache: amortize remote AOT compiles
 except Exception:
     pass
 
-import proton_tpu as pt  # noqa: E402
-from proton_tpu.cut import classify, levelset  # noqa: E402
-from proton_tpu.cut import methods as cut_methods  # noqa: E402
+from proton_tpu.core.ops import HHODegreeInfo  # noqa: E402
 from proton_tpu.core.geometry import cell_geometry  # noqa: E402
-from proton_tpu.core.ops import HHODegreeInfo, cell_rhs  # noqa: E402
-from proton_tpu.methods import assembly, condensation, hho, \
-    pallas_assembly, poisson, structured  # noqa: E402
+from proton_tpu.cut import fictdom_structured as fs  # noqa: E402
+from proton_tpu.cut import methods as cut_methods  # noqa: E402
+from proton_tpu.methods import assembly, cells_last  # noqa: E402
 from proton_tpu.solvers import cg  # noqa: E402
-
-
-def _cast32(tree):
-    return jax.tree.map(
-        lambda a: a.astype(jnp.float32)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a, tree)
 
 
 def main():
     N = int(os.environ.get("PROTON_BENCH_N", "1024"))
     k = _BENCH_K
     tol = float(os.environ.get("PROTON_BENCH_TOL", "1e-6"))
-    chunk = int(os.environ.get("PROTON_BENCH_CHUNK", "16384"))
-    eta = 5.0 if k < 2 else 5.0 * (k + 1) ** 2  # Nitsche (see CLAUDE.md)
+    precond = os.environ.get("PROTON_BENCH_PRECOND", "mg")
+    want_h1 = os.environ.get("PROTON_BENCH_H1", "1") == "1"
+    n_smooth = int(os.environ.get("PROTON_BENCH_NSMOOTH", "1"))
+    patch_ring = int(os.environ.get("PROTON_BENCH_RING", "1"))
+    cheb_degree = int(os.environ.get("PROTON_BENCH_CHEB", "4"))
+    maxit = int(os.environ.get("PROTON_BENCH_MAXIT", "50000"))
 
     hdi = HHODegreeInfo(k + 1, k)
-    pi = np.pi
-    rhs_fun = lambda p: 2.0 * pi ** 2 * jnp.sin(pi * p[..., 0]) * \
-        jnp.sin(pi * p[..., 1])
-    sol_fun = lambda p: jnp.sin(pi * p[..., 0]) * jnp.sin(pi * p[..., 1])
-    ls = levelset.circle_level_set(0.35, 0.5, 0.5)
+    eta = fs.nitsche_eta(k)
+    problem = fs.default_problem()
+    # Mosaic has no f64: the accurate mode assembles via the chunked XLA
+    # path (emulated f64)
+    use_pallas = (jax.default_backend() == "tpu" and
+                  _PRECISION != "f64" and
+                  os.environ.get("PROTON_BENCH_PALLAS", "1") == "1")
+    cgp = cg.CGParams(convergence_threshold=tol, divergence_threshold=1e8,
+                      max_iter=maxit, apply_preconditioner=True)
 
-    cpu = jax.devices("cpu")[0] if _MIXED else None
-
-    # ---------------- setup (host topology + classification) -------------
-    t_setup0 = time.perf_counter()
-    mesh = pt.make_poly_mesh(Nx=N, Ny=N)
-    if _MIXED:
-        with jax.default_device(cpu):
-            mesh64, cutdata64 = classify.cut_preprocess(mesh, ls, levels=4)
-        mesh = jax.device_put(_cast32(mesh64), jax.devices()[0])
-        cutdata = jax.device_put(_cast32(cutdata64), jax.devices()[0])
-    else:
-        mesh, cutdata = classify.cut_preprocess(mesh, ls, levels=4)
+    # ---------------- setup: classification + dofmap ---------------------
+    t0 = time.perf_counter()
+    mesh, cutdata, cut_ids, mesh64, cutdata64 = fs.classify_level(
+        N, problem, int_refsteps=4, mixed=_MIXED)
     geom = jax.jit(cell_geometry)(mesh)
-    cut_ids = np.nonzero(np.asarray(cutdata.cell_loc) == classify.LOC_CUT)[0]
     batch = jax.jit(cut_methods.make_cut_batch)(mesh, geom, cutdata,
                                                 cut_ids)
     dofmap = assembly.build_dofmap(mesh, hdi)
-    inc = assembly.build_face_incidence(mesh, dofmap)
     jax.block_until_ready(geom.bar)
-    t_setup = time.perf_counter() - t_setup0
+    t_setup = time.perf_counter() - t0
 
-    C = mesh.num_cells
-    side = classify.LOC_NEG
-    use_pallas = (jax.default_backend() == "tpu" and
-                  os.environ.get("PROTON_BENCH_PALLAS", "1") == "1")
-
-    # ---------------- local assembly -------------------------------------
-    @jax.jit
-    def assemble_fitted(mesh, geom, cell_loc):
-        """Fitted operator (reconstruction data + naive stabilization, the
-        uncut fallback of the fictdom path) on every cell: fused Pallas
-        kernel on TPU, chunked XLA elsewhere; plus the standard source."""
-        if use_pallas:
-            lc = pallas_assembly.fitted_local_operator(mesh, geom, hdi)
-        else:
-            _, lc = poisson.assemble_local_chunked(
-                mesh, geom, hdi, "naive", chunk)
-        f_std = cell_rhs(mesh, geom, hdi.cell_degree, rhs_fun)
-        f = jnp.where((cell_loc == side)[:, None], f_std, 0.0)
-        return lc, f
-
-    @jax.jit
-    def assemble_cut32(batch):
-        _, data_cut = cut_methods.cut_hho_laplacian(batch, ls, hdi, side,
-                                                    eta=eta)
-        stab_cut = cut_methods.cut_stabilization(batch, hdi, side)
-        f_cut = cut_methods.cut_rhs(batch, hdi.cell_degree, rhs_fun, ls,
-                                    sol_fun, side, eta=eta)
-        return data_cut + stab_cut, f_cut
-
-    def _cut64_impl(mesh64, cutdata64):
-        geom64 = cell_geometry(mesh64)
-        batch64 = cut_methods.make_cut_batch(mesh64, geom64, cutdata64,
-                                             cut_ids)
-        _, data_cut = cut_methods.cut_hho_laplacian(
-            batch64, ls, hdi, side, eta=eta)
-        stab_cut = cut_methods.cut_stabilization(batch64, hdi, side)
-        f_cut = cut_methods.cut_rhs(batch64, hdi.cell_degree, rhs_fun,
-                                    ls, sol_fun, side, eta=eta)
-        lc_cut = data_cut + stab_cut
-        cond_cut = condensation.condense(lc_cut, f_cut, dofmap.cbs,
-                                         robust=True)
-        return lc_cut, f_cut, cond_cut
-
-    _cut64_jit = jax.jit(_cut64_impl)
-
-    def assemble_cut64():
-        """Mixed-precision path: cut-cell class in f64 on the host CPU."""
-        with jax.default_device(cpu):
-            lc_cut, f_cut, cond_cut = _cut64_jit(mesh64, cutdata64)
-            jax.block_until_ready(lc_cut)
-        dev = jax.devices()[0]
-        return (jax.device_put(_cast32(lc_cut), dev),
-                jax.device_put(_cast32(f_cut), dev),
-                jax.device_put(_cast32(cond_cut), dev))
-
-    def assemble_all():
-        lc, f = assemble_fitted(mesh, geom, cutdata.cell_loc)
+    # ---------------- fine-level assembly + condensation ------------------
+    def assemble_fine():
+        cond = fs._assemble_level_cl(mesh, geom, cutdata, batch, hdi,
+                                     problem, eta, use_pallas,
+                                     with_rhs=True)
         if _MIXED:
-            lc_cut, f_cut, cond_cut = assemble_cut64()
-        else:
-            lc_cut, f_cut = assemble_cut32(batch)
-            cond_cut = None
-        lc = lc.at[jnp.asarray(cut_ids)].set(lc_cut)
-        f = f.at[jnp.asarray(cut_ids)].set(f_cut)
-        return lc, f, cond_cut
+            sub = fs._cut64_condensed(mesh64, cutdata64, cut_ids, hdi,
+                                      problem, eta, with_rhs=True)
+            cond = cells_last.set_cells(cond, cut_ids, sub)
+        return cond
 
-    lc, f, cond_cut = assemble_all()
-    jax.block_until_ready(lc)
+    cond = assemble_fine()
+    jax.block_until_ready(cond.S)
     t0 = time.perf_counter()
-    lc, f, cond_cut = assemble_all()
-    jax.block_until_ready(lc)
+    cond = assemble_fine()
+    jax.block_until_ready(cond.S)
     t_assembly = time.perf_counter() - t0
+    C = mesh.num_cells
     elements_per_sec = C / t_assembly
 
-    # ---------------- condensed face-grid solve --------------------------
-    cgp = cg.CGParams(convergence_threshold=tol,
-                      divergence_threshold=1e8,
-                      max_iter=int(os.environ.get("PROTON_BENCH_MAXIT",
-                                                  "50000")),
-                      apply_preconditioner=True)
-    str_sys = structured.make_structured_system(N, N, dofmap.fbs)
-    ids_dev = jnp.asarray(cut_ids)
+    # ---------------- MG hierarchy (rediscretized coarse levels) ----------
+    t0 = time.perf_counter()
+    S_levels, cut_levels = {N: cond.S}, {N: cut_ids}
+    if precond == "mg":
+        for n in fs._mg_sizes(N, 8)[1:]:
+            lev = fs.build_level(n, hdi, problem, eta, int_refsteps=4,
+                                 mixed=_MIXED, use_pallas=use_pallas,
+                                 with_rhs=False)
+            S_levels[n] = lev.cond.S
+            cut_levels[n] = lev.cut_ids
+        jax.block_until_ready(S_levels[8])
+    t_mg_setup = time.perf_counter() - t0
 
-    @jax.jit
-    def solve(mesh, lc, f, cond_cut):
-        fd = assembly.dirichlet_face_data(mesh, hdi, sol_fun)
-        g_loc = assembly.local_dirichlet_data(dofmap, mesh, fd)
-        cond = condensation.condense(lc, f, dofmap.cbs)
-        if cond_cut is not None:
-            # overwrite the cut rows with the f64-condensed (then rounded)
-            # Schur data — the f32 condensation of those blocks is the
-            # unstable step
-            cond = condensation.CondensedSystem(
-                cond.S.at[ids_dev].set(cond_cut.S),
-                cond.bF.at[ids_dev].set(cond_cut.bF),
-                cond.ATT.at[ids_dev].set(cond_cut.ATT),
-                cond.ATF.at[ids_dev].set(cond_cut.ATF),
-                cond.fT.at[ids_dev].set(cond_cut.fT))
-        rhs = structured.structured_rhs(str_sys, cond, g_loc, dofmap.cbs)
-        apply_S = structured.make_structured_operator(str_sys, cond.S)
-        diag = structured.structured_diagonal(str_sys, cond.S)
-        res = cg.conjugated_gradient(apply_S, rhs, diag, cgp)
-        uF = structured.grid_gather(str_sys, structured._mask(str_sys,
-                                                              res.x))
-        uF = uF + g_loc[:, dofmap.cbs:]
-        from proton_tpu.core.ops import cho_solve_batched
-        rhs_T = cond.fT - jnp.einsum("cij,cj->ci", cond.ATF, uF)
-        uT = cho_solve_batched(cond.ATT, rhs_T[..., None])[..., 0]
-        local = jnp.concatenate([uT, uF], axis=1)
-        return local, res.iterations, res.exit_reason, res.rel_residual
+    # ---------------- condensed face-grid solve ---------------------------
+    sizes = tuple(sorted(S_levels))
+    S_list = tuple(S_levels[n] for n in sizes)
+    cut_static = tuple(
+        (n, tuple(int(i) for i in fs.expand_ring(cut_levels[n], n,
+                                                 patch_ring)))
+        for n in sizes)
 
-    local, iters, exit_reason, rel = solve(mesh, lc, f, cond_cut)
+    def solve():
+        return fs._solve_jit(mesh, dofmap, cond, S_list, sizes=sizes,
+                             hdi=hdi, problem=problem, precond=precond,
+                             cut_levels=cut_static, mg_coarsest=8,
+                             n_smooth=n_smooth, cg_params=cgp,
+                             cheb_degree=cheb_degree,
+                             mg_f32=_PRECISION == "f64")
+
+    local, iters, exit_reason, rel = solve()
     jax.block_until_ready(local)
     t0 = time.perf_counter()
-    local, iters, exit_reason, rel = solve(mesh, lc, f, cond_cut)
+    local, iters, exit_reason, rel = solve()
     jax.block_until_ready(local)
     t_solve = time.perf_counter() - t0
 
-    end_to_end = t_setup + t_assembly + t_solve
+    # ---------------- H1 error vs manufactured solution -------------------
+    h1 = None
+    t_h1 = 0.0
+    if want_h1:
+        t0 = time.perf_counter()
+        h1 = fs.fictdom_h1_error_chunked(mesh, geom, batch, cutdata, hdi,
+                                         local, problem.sol_grad)
+        h1 = float(jax.block_until_ready(h1))
+        t_h1 = time.perf_counter() - t0
+
+    end_to_end = t_setup + t_assembly + t_mg_setup + t_solve + t_h1
 
     result = {
         "metric": "elements/sec local assembly (k=1 cutHHO); "
@@ -229,16 +181,22 @@ def main():
         "cells": int(C),
         "cut_cells": int(len(cut_ids)),
         "dofs": int(dofmap.n_dofs),
-        "condensed_dofs": int(condensation.face_dof_view(dofmap)[1]),
+        "condensed_dofs": int(dofmap.n_dofs - dofmap.n_cells * dofmap.cbs),
         "setup_s": round(t_setup, 3),
         "assembly_s": round(t_assembly, 4),
+        "mg_setup_s": round(t_mg_setup, 3),
         "solve_s": round(t_solve, 3),
+        "h1_s": round(t_h1, 3),
         "end_to_end_s": round(end_to_end, 3),
         "cg_iters": int(iters),
         "cg_rel_residual": float(rel),
         "cg_exit": int(exit_reason),
+        "h1_error": h1,
+        "precond": precond,
         "backend": jax.default_backend(),
-        "precision": "mixed(f32+f64-cut)" if _MIXED else "float32",
+        "precision": {"mixed": "mixed(f32+f64-cut)",
+                      "f64": "f64(f32-mg-precond)",
+                      "f32": "float32"}[_PRECISION],
     }
     print(json.dumps(result))
     return 0

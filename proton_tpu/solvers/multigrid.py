@@ -287,6 +287,60 @@ def make_reconstruction_prolongation_cl(sys_f: StructuredFaceSystem,
     return prolong
 
 
+def _tree_axpby(a, x, b, y):
+    return jax.tree.map(lambda xx, yy: a * xx + b * yy, x, y)
+
+
+def estimate_lambda_max(apply_A, precond, like, iters: int = 12,
+                        safety: float = 1.05):
+    """Power iteration on M^-1 A (deterministic all-ones start); the
+    standard Chebyshev-smoother eigenvalue estimate. Runs traced at
+    setup; ``like`` provides the vector structure."""
+    v = jax.tree.map(jnp.ones_like, like)
+
+    def norm(x):
+        return jnp.sqrt(sum(jnp.vdot(l, l).real
+                            for l in jax.tree.leaves(x)))
+
+    lam = jnp.asarray(1.0, jax.tree.leaves(like)[0].dtype)
+    for _ in range(iters):
+        w = precond(apply_A(v))
+        lam = norm(w)
+        v = jax.tree.map(lambda a: a / lam, w)
+    return lam * safety
+
+
+def make_chebyshev_smoother(apply_A, precond, lam_max, degree: int = 4,
+                            alpha: float = 4.0):
+    """Chebyshev(degree) polynomial smoother targeting the upper part
+    [lam_max/alpha, lam_max] of the M^-1 A spectrum (Adams et al.,
+    'Parallel multigrid smoothing'): r -> accumulated correction. Only
+    matvecs and the base preconditioner — the TPU-friendly alternative
+    to Gauss-Seidel, and far stronger per-application than damped
+    Jacobi. SPD (a fixed polynomial in M^-1 A applied to M^-1), so the
+    V-cycle stays a valid CG preconditioner."""
+    lmin = lam_max / alpha
+    theta = 0.5 * (lam_max + lmin)
+    delta = 0.5 * (lam_max - lmin)
+    sigma = theta / delta
+
+    def smooth(r):
+        rho = 1.0 / sigma
+        z = precond(r)
+        d = jax.tree.map(lambda a: a / theta, z)
+        x = d
+        for _ in range(degree - 1):
+            r = _tree_axpby(1.0, r, -1.0, apply_A(d))
+            z = precond(r)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = _tree_axpby(rho_new * rho, d, 2.0 * rho_new / delta, z)
+            x = jax.tree.map(lambda a, b: a + b, x, d)
+            rho = rho_new
+        return x
+
+    return smooth
+
+
 class MGLevel(NamedTuple):
     sys: StructuredFaceSystem
     apply_S: Callable
@@ -357,6 +411,7 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                     omega: float = 0.67, coarsest: int = 8,
                     smoother: str = "block_jacobi",
                     cut_ids_per_level=None, patch_sweeps: int = 1,
+                    cheb_degree: int = 4,
                     layout: str = "rm") -> Multigrid:
     """S_per_level: dict {n: S_n [C_n, nfd, nfd]} containing the condensed
     local Schur matrices for each mesh size n = N, N/2, ..., coarsest
@@ -366,8 +421,11 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
     reconstruction-based — iteration counts stay roughly flat in N;
     ``domain`` is the domain side length (cell size = domain/n per
     level). Without hdi, falls back to the round-1 constant-injection
-    transfers. ``smoother``: 'block_jacobi' (per-face fbs x fbs blocks)
-    or 'jacobi' (pointwise), both damped by ``omega``.
+    transfers. ``smoother``: 'chebyshev' (Chebyshev(cheb_degree)
+    polynomial over the block-Jacobi-preconditioned operator — the
+    strongest and the TPU default), 'block_jacobi' (per-face fbs x fbs
+    blocks) or 'jacobi' (pointwise), the latter two damped by
+    ``omega``.
 
     ``cut_ids_per_level`` ({n: cut cell indices}) enables the
     interface-patch smoother (structured.make_cut_patch_smoother) on each
@@ -421,7 +479,7 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
     for i, n in enumerate(sizes):
         sys_n = systems[n]
         apply_S = op_fn(sys_n, S_per_level[n])
-        if smoother == "block_jacobi":
+        if smoother in ("block_jacobi", "chebyshev"):
             base = bj_fn(sys_n, S_per_level[n])
         else:
             diag = diag_fn(sys_n, S_per_level[n])
@@ -430,8 +488,14 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
             def base(r, _inv=inv_diag):
                 return jax.tree.map(lambda rr, ii: rr * ii, r, _inv)
 
-        def damped(r, _b=base, _w=omega):
-            return jax.tree.map(lambda a: _w * a, _b(r))
+        if smoother == "chebyshev":
+            like = zeros_grid(n)
+            lam = estimate_lambda_max(apply_S, base, like)
+            damped = make_chebyshev_smoother(apply_S, base, lam,
+                                             degree=cheb_degree)
+        else:
+            def damped(r, _b=base, _w=omega):
+                return jax.tree.map(lambda a: _w * a, _b(r))
 
         smoothers = (damped,)
         if cut_ids_per_level is not None and \
