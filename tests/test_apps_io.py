@@ -136,3 +136,18 @@ def test_bench_script(tmp_path, monkeypatch):
     assert data["unit"] == "elements/s"
     assert data["value"] > 0
     assert "vs_baseline" in data
+
+
+def test_fictdom_family_app(capsys):
+    """proton-fictdom-family CLI: 3 geometries at 16^2 in one vmapped
+    solve, JSON output with per-geometry results."""
+    from proton_tpu.apps import fictdom_family
+
+    assert fictdom_family.main(["-N", "16", "-B", "3"]) == 0
+    data = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert data["all_converged"]
+    assert data["overflow"] == 0
+    assert len(data["h1_errors"]) == 3
+    # every geometry cuts differently but all stay at the k=1
+    # discretization level on a 16^2 mesh
+    assert max(data["h1_errors"]) < 0.05
