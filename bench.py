@@ -12,11 +12,12 @@ Environment knobs:
   PROTON_BENCH_TOL      CG relative tolerance (default 1e-6)
   PROTON_BENCH_PRECOND  mg (default) | block_jacobi | jacobi
   PROTON_BENCH_PRECISION
-      f32 (default at k <= 1): pure float32 — f32-safe at low degree.
-      mixed (default at k >= 2): f32 pipeline with the O(N) cut-cell
-          class assembled + condensed in f64 (the sliver-cut Nitsche
-          blocks round indefinite in f32). H1 carries the f32
-          fitted-assembly noise floor (~2e-5 * 2N, see CLAUDE.md).
+      mixed (default): f32 data pipeline with (a) the O(N) cut-cell
+          class assembled + condensed in f64 (sliver-cut Nitsche blocks
+          round indefinite in f32) and (b) f64 CG recurrences around
+          the f32 matvec + V-cycle (plain f32 CG stagnates on the
+          cond ~ N^2 system). H1 carries the f32 fitted-assembly
+          noise floor — run the f64 mode for discretization-level H1.
       f64 (accurate mode): assembly, condensation, matvec and CG in
           (TPU-emulated) f64 with the FLOAT32 multigrid V-cycle as
           preconditioner — discretization-accurate H1 at bench scale.
@@ -38,11 +39,7 @@ import sys
 import time
 
 _BENCH_K = int(os.environ.get("PROTON_BENCH_K", "1"))
-# k <= 1 is f32-safe end to end (round-1 result, CLAUDE.md); the f64 cut
-# class only becomes necessary at k >= 2 (sliver Nitsche blocks round
-# indefinite in f32)
-_PRECISION = os.environ.get("PROTON_BENCH_PRECISION",
-                            "f32" if _BENCH_K <= 1 else "mixed")
+_PRECISION = os.environ.get("PROTON_BENCH_PRECISION", "mixed")
 assert _PRECISION in ("mixed", "f64", "f32"), _PRECISION
 _MIXED = _PRECISION == "mixed"
 os.environ.setdefault("PROTON_TPU_X64",
@@ -92,8 +89,12 @@ def main():
                       max_iter=maxit, apply_preconditioner=True)
 
     # ---------------- setup: classification + dofmap ---------------------
+    # classification always runs f32 on TPU (classify_level docstring);
+    # the f64 accurate mode upcasts the classified geometry (points are
+    # layout-benign; the big cut tables stay f32 and only the gathered
+    # cut batch is ever upcast)
     t0 = time.perf_counter()
-    mesh, cutdata, cut_ids, mesh64, cutdata64 = fs.classify_level(
+    mesh, cutdata, cut_ids = fs.classify_level(
         N, problem, int_refsteps=4, mixed=_MIXED)
     geom = jax.jit(cell_geometry)(mesh)
     batch = jax.jit(cut_methods.make_cut_batch)(mesh, geom, cutdata,
@@ -104,12 +105,17 @@ def main():
 
     # ---------------- fine-level assembly + condensation ------------------
     def assemble_fine():
+        if _PRECISION == "f64":
+            # f64 arithmetic in bounded cell blocks from the f32 geometry
+            return fs._assemble_level_cl_f64(mesh, geom, cutdata, batch,
+                                             hdi, problem, eta,
+                                             with_rhs=True)
         cond = fs._assemble_level_cl(mesh, geom, cutdata, batch, hdi,
                                      problem, eta, use_pallas,
                                      with_rhs=True)
         if _MIXED:
-            sub = fs._cut64_condensed(mesh64, cutdata64, cut_ids, hdi,
-                                      problem, eta, with_rhs=True)
+            sub = fs._cut64_condensed(batch, hdi, problem, eta,
+                                      with_rhs=True)
             cond = cells_last.set_cells(cond, cut_ids, sub)
         return cond
 
@@ -126,9 +132,12 @@ def main():
     t0 = time.perf_counter()
     S_levels, cut_levels = {N: cond.S}, {N: cut_ids}
     if precond == "mg":
+        # the preconditioner only needs the f64 cut splice where f32
+        # rounds the blocks indefinite (k >= 2)
         for n in fs._mg_sizes(N, 8)[1:]:
             lev = fs.build_level(n, hdi, problem, eta, int_refsteps=4,
-                                 mixed=_MIXED, use_pallas=use_pallas,
+                                 mixed=_MIXED and k >= 2,
+                                 use_pallas=use_pallas,
                                  with_rhs=False)
             S_levels[n] = lev.cond.S
             cut_levels[n] = lev.cut_ids
@@ -149,6 +158,7 @@ def main():
                              cut_levels=cut_static, mg_coarsest=8,
                              n_smooth=n_smooth, cg_params=cgp,
                              cheb_degree=cheb_degree,
+                             cg_f64=_MIXED,
                              mg_f32=_PRECISION == "f64")
 
     local, iters, exit_reason, rel = solve()

@@ -227,14 +227,79 @@ def _structured_arrays(params: MeshInitParams):
     return points, cell_ptids, raw_bnd
 
 
+def _structured_topology(params: MeshInitParams, kind: str) -> Mesh:
+    """Closed-form topology of the structured generator — no sort, no
+    dedup, no native call: the sorted-lexicographic face order of
+    basic_mesh.hpp:290-291 has an explicit formula on the grid (for
+    point p=(j,i), its H-edge precedes its V-edge; edges are ordered by
+    their lower point id), so every Mesh index array is pure vectorized
+    arithmetic. Identical output to _build_topology (tested), ~50 ms at
+    1024^2 where the sort-based builder takes seconds."""
+    Nx, Ny = params.Nx, params.Ny
+    W = Nx + 1
+
+    i = np.arange(W)
+    j = np.arange(Ny + 1)
+    X, Y = np.meshgrid(params.min_x + i * params.hx,
+                       params.min_y + j * params.hy)
+    points = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    # face index formulas (row stride 2*Nx+1 below the top row)
+    def f_H(jj, ii):
+        return np.where(jj < Ny, jj * (2 * Nx + 1) + 2 * ii,
+                        Ny * (2 * Nx + 1) + ii)
+
+    def f_V(jj, ii):
+        return jj * (2 * Nx + 1) + 2 * ii + (ii < Nx)
+
+    ci, cj = np.meshgrid(np.arange(Nx), np.arange(Ny))
+    ci, cj = ci.ravel(), cj.ravel()
+    pt0 = cj * W + ci
+    cell_ptids = np.stack([pt0, pt0 + 1, pt0 + W + 1, pt0 + W], axis=1)
+    # local edge order (bottom, right, top, left) = (pt k, pt k+1 mod 4)
+    cell_faces = np.stack([f_H(cj, ci), f_V(cj, ci + 1),
+                           f_H(cj + 1, ci), f_V(cj, ci)], axis=1)
+
+    F = (Ny + 1) * Nx + Ny * W
+    face_ptids = np.zeros((F, 2), dtype=np.int64)
+    face_bnd = np.zeros((F,), dtype=np.int8)
+    hi_, hj = np.meshgrid(np.arange(Nx), np.arange(Ny + 1))
+    hi_, hj = hi_.ravel(), hj.ravel()
+    hidx = f_H(hj, hi_)
+    hp = hj * W + hi_
+    face_ptids[hidx, 0] = hp
+    face_ptids[hidx, 1] = hp + 1
+    face_bnd[hidx] = np.where((hj == 0) | (hj == Ny), BND_DIRICHLET,
+                              BND_NONE)
+    vi, vj = np.meshgrid(np.arange(W), np.arange(Ny))
+    vi, vj = vi.ravel(), vj.ravel()
+    vidx = f_V(vj, vi)
+    vp = vj * W + vi
+    face_ptids[vidx, 0] = vp
+    face_ptids[vidx, 1] = vp + W
+    face_bnd[vidx] = np.where((vi == 0) | (vi == Nx), BND_DIRICHLET,
+                              BND_NONE)
+
+    rdt = np_real_dtype()
+    C = Nx * Ny
+    return Mesh(
+        points=jnp.asarray(points.astype(rdt)),
+        cell_ptids=jnp.asarray(cell_ptids.astype(np.int32)),
+        cell_npts=jnp.asarray(np.full(C, 4, dtype=np.int32)),
+        cell_faces=jnp.asarray(cell_faces.astype(np.int32)),
+        face_ptids=jnp.asarray(face_ptids.astype(np.int32)),
+        face_bnd=jnp.asarray(face_bnd),
+        kind=kind,
+        all_quads=True,
+    )
+
+
 def make_quad_mesh(params: Optional[MeshInitParams] = None, **kw) -> Mesh:
     """Structured quad mesh of an axis-aligned box (mesh_impl<T,4>,
     basic_mesh.hpp:230-298). Cells come out in the reference's sorted order
     (row-major generation order is already sorted by ptids)."""
     params = params or MeshInitParams(**kw)
-    points, cell_ptids, raw_bnd = _structured_arrays(params)
-    npts = np.full(len(cell_ptids), 4, dtype=np.int64)
-    return _build_topology(points, cell_ptids, npts, raw_bnd, "quad")
+    return _structured_topology(params, "quad")
 
 
 def make_poly_mesh(params: Optional[MeshInitParams] = None, **kw) -> Mesh:
@@ -242,9 +307,7 @@ def make_poly_mesh(params: Optional[MeshInitParams] = None, **kw) -> Mesh:
     basic_mesh.hpp:321-403; the optional random jitter there is commented
     out, so geometry is identical to the quad mesh)."""
     params = params or MeshInitParams(**kw)
-    points, cell_ptids, raw_bnd = _structured_arrays(params)
-    npts = np.full(len(cell_ptids), 4, dtype=np.int64)
-    return _build_topology(points, cell_ptids, npts, raw_bnd, "poly")
+    return _structured_topology(params, "poly")
 
 
 def load_poly_mesh(filename: str) -> Mesh:

@@ -108,9 +108,6 @@ class LevelData(NamedTuple):
     cutdata: object
     cut_ids: np.ndarray
     cond: cells_last.CondensedCL
-    # f64 host-side copies (mixed precision only; None otherwise)
-    mesh64: Optional[object] = None
-    cutdata64: Optional[object] = None
 
 
 class StructuredFictdomResult(NamedTuple):
@@ -127,28 +124,50 @@ class StructuredFictdomResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _cast64(tree):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float64)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
 def classify_level(N: int, problem: FictdomProblem, int_refsteps: int,
-                   mixed: bool):
-    """Mesh + level-set classification of one level. Mixed precision
-    classifies in f64 (bisection/orientation at sliver cuts is itself
-    precision-sensitive) and keeps both copies. The f64 work runs on the
-    default backend — on TPU that is the pairs-of-f32 emulation, which
-    for the O(N) cut class costs less than shipping it to the host."""
+                   mixed: bool = False,
+                   classify_f32: Optional[bool] = None):
+    """Mesh + level-set classification of one level.
+
+    ``classify_f32`` (default: True on the TPU backend) runs the
+    classification in FLOAT32 regardless of the x64 config: the
+    bisection/orientation decisions are self-consistent within one
+    precision, the resulting geometry perturbation is O(eps_f32 * h) —
+    orders below the discretization error at any reachable N — and
+    classifying in emulated f64 OOMs a 16 GB chip at 1024^2 on the
+    refinement temporaries. What the k >= 2 cut class needs f64 for is
+    the assembly *arithmetic* on the sliver Nitsche blocks, not f64
+    geometry — the f64 upcast happens on the small gathered cut batch
+    (_cut64_condensed), never on the full-mesh arrays. On CPU
+    (classify_f32=False) the classification runs in the default dtype,
+    keeping the f64 accuracy gates bit-exact.
+
+    ``mixed`` only validates that the x64 config is available (the f32
+    pipeline copy is returned either way)."""
+    if classify_f32 is None:
+        classify_f32 = jax.default_backend() == "tpu"
+    if mixed and not jax.config.jax_enable_x64:
+        raise ValueError("mixed precision requires PROTON_TPU_X64=1 "
+                         "(jax_enable_x64)")
     mesh = make_poly_mesh(Nx=N, Ny=N)
-    if mixed:
-        if not jax.config.jax_enable_x64:
-            raise ValueError("mixed precision requires PROTON_TPU_X64=1 "
-                             "(jax_enable_x64)")
-        mesh64, cutdata64 = cut_preprocess(mesh, problem.ls,
-                                           levels=int_refsteps)
-        mesh_f = _cast32(mesh64)
-        cutdata = _cast32(cutdata64)
+    if classify_f32:
+        mesh = _cast32(mesh)
+    mesh_c, cutdata_c = cut_preprocess(mesh, problem.ls,
+                                       levels=int_refsteps)
+    if mixed or classify_f32:
+        # the f32 pipeline copy (mixed = f32 system + f64 cut splice)
+        mesh_f, cutdata = _cast32(mesh_c), _cast32(cutdata_c)
     else:
-        mesh_f, cutdata = cut_preprocess(mesh, problem.ls,
-                                         levels=int_refsteps)
-        mesh64 = cutdata64 = None
+        mesh_f, cutdata = mesh_c, cutdata_c
     cut_ids = np.nonzero(np.asarray(cutdata.cell_loc) == LOC_CUT)[0]
-    return mesh_f, cutdata, cut_ids, mesh64, cutdata64
+    return mesh_f, cutdata, cut_ids
 
 
 @functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
@@ -192,12 +211,73 @@ def _assemble_level_cl(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
 
 
 @functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
-                                             "with_rhs", "side"))
-def _cut64_impl(mesh64, cutdata64, cut_ids, *, hdi, problem, eta,
-                with_rhs, side=LOC_NEG):
-    geom64 = cell_geometry(mesh64)
-    batch64 = cut_methods.make_cut_batch(mesh64, geom64, cutdata64,
-                                         cut_ids)
+                                             "with_rhs", "side",
+                                             "chunk"))
+def _assemble_level_cl_f64(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
+                           problem: FictdomProblem, eta: float,
+                           with_rhs: bool, side: int = LOC_NEG,
+                           chunk: int = 16384):
+    """Accurate-mode fine assembly: f64 ARITHMETIC from the f32-classified
+    geometry, with every f64 temporary bounded to one cell block.
+
+    Full-mesh f64 arrays with small trailing dims tile-pad 16-64x under
+    the pairs-of-f32 emulation (cell_geometry alone OOMs a 16 GB chip at
+    1024^2), so the f32 mesh stays the persistent representation: each
+    lax.map block upcasts its slice, assembles + condenses in f64, and
+    emits cells-last columns (lane-dense at any dtype). The cut class is
+    spliced via the same gathered-batch upcast as the mixed mode."""
+    import dataclasses as _dc
+
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    C = mesh.num_cells
+    bs = min(chunk, C)
+    nb = -(-C // bs)
+    Cpad = nb * bs
+
+    def pad(a):
+        if Cpad == C:
+            return a
+        return jnp.concatenate(
+            [a, jnp.repeat(a[-1:], Cpad - C, axis=0)], axis=0)
+
+    points64 = mesh.points.astype(jnp.float64)
+    blocks = (pad(mesh.cell_ptids).reshape(nb, bs, -1),
+              pad(mesh.cell_npts).reshape(nb, bs),
+              pad(mesh.cell_faces).reshape(nb, bs, -1),
+              pad(cutdata.cell_loc == side).reshape(nb, bs))
+
+    def body(xs):
+        cp, cn, cf, on_side = xs
+        sub = _dc.replace(mesh, points=points64, cell_ptids=cp,
+                          cell_npts=cn, cell_faces=cf)
+        g64 = cell_geometry(sub)
+        _, lc = poisson.assemble_local(sub, g64, hdi, "naive")
+        if with_rhs:
+            f = cell_rhs(sub, g64, hdi.cell_degree, problem.rhs_fun)
+            f = jnp.where(on_side[:, None], f, 0.0)
+        else:
+            f = jnp.zeros((bs, cbs), lc.dtype)
+        d = lc.shape[1]
+        lc_cl = jnp.transpose(lc, (1, 2, 0)).reshape(d * d, bs)
+        return cells_last.condense_cl(lc_cl, f.T, cbs)
+
+    cond = jax.lax.map(body, blocks)
+    cond = cells_last.CondensedCL(
+        *(jnp.moveaxis(a, 0, -2).reshape(a.shape[1], -1)[:, :C]
+          for a in cond))
+
+    # cut class: f64 batch upcast, Nitsche kernels, robust condensation
+    sub = _cut64_impl(batch, hdi=hdi, problem=problem, eta=eta,
+                      with_rhs=with_rhs, side=side, keep_f64=True)
+    return cells_last.set_cells(cond, batch.ids, sub)
+
+
+@functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
+                                             "with_rhs", "side",
+                                             "keep_f64"))
+def _cut64_impl(batch32, *, hdi, problem, eta, with_rhs, side=LOC_NEG,
+                keep_f64=False):
+    batch64 = _cast64(batch32)
     _, data_cut = cut_methods.cut_hho_laplacian(
         batch64, problem.ls, hdi, side, eta=eta)
     stab_cut = cut_methods.cut_stabilization(batch64, hdi, side)
@@ -210,35 +290,41 @@ def _cut64_impl(mesh64, cutdata64, cut_ids, *, hdi, problem, eta,
     else:
         f_cut = jnp.zeros((lc_cut.shape[0], cbs), lc_cut.dtype)
     cond = condensation.condense(lc_cut, f_cut, cbs, robust=True)
-    return cells_last.from_row_major(_cast32(cond))
+    if not keep_f64:
+        cond = _cast32(cond)
+    return cells_last.from_row_major(cond)
 
 
-def _cut64_condensed(mesh64, cutdata64, cut_ids, hdi, problem, eta,
-                     with_rhs, side=LOC_NEG):
-    """Mixed-precision splice: the O(N) cut class assembled + condensed
-    in f64 on the default backend (TPU: pairs-of-f32 emulation), rounded
-    to f32 cells-last columns after the unstable condensation step."""
-    return _cut64_impl(mesh64, cutdata64, jnp.asarray(cut_ids), hdi=hdi,
-                       problem=problem, eta=eta, with_rhs=with_rhs,
-                       side=side)
+def _cut64_condensed(batch32, hdi, problem, eta, with_rhs,
+                     side=LOC_NEG):
+    """Mixed-precision splice: the gathered O(N) cut batch is UPCAST to
+    f64 (the full-mesh arrays never exist in f64 — the [C, 17, 2]
+    interface table alone would tile-pad to ~24 GB emulated at 1024^2),
+    assembled + condensed in f64 on the default backend (TPU:
+    pairs-of-f32 emulation), and rounded to f32 cells-last columns
+    after the unstable condensation step. The f32-classified geometry
+    perturbs the domain by O(eps_f32 h) — far below discretization
+    error; what needs f64 is the assembly/condensation ARITHMETIC on
+    the sliver Nitsche blocks."""
+    return _cut64_impl(batch32, hdi=hdi, problem=problem, eta=eta,
+                       with_rhs=with_rhs, side=side)
 
 
 def build_level(N: int, hdi: HHODegreeInfo, problem: FictdomProblem,
                 eta: float, int_refsteps: int, mixed: bool,
                 use_pallas: bool, with_rhs: bool) -> LevelData:
     """Classify + assemble + condense one level (cells-last)."""
-    mesh, cutdata, cut_ids, mesh64, cutdata64 = classify_level(
-        N, problem, int_refsteps, mixed)
+    mesh, cutdata, cut_ids = classify_level(N, problem, int_refsteps,
+                                            mixed)
     geom = jax.jit(cell_geometry)(mesh)
     batch = jax.jit(cut_methods.make_cut_batch)(mesh, geom, cutdata,
                                                 cut_ids)
     cond = _assemble_level_cl(mesh, geom, cutdata, batch, hdi, problem,
                               eta, use_pallas, with_rhs)
     if mixed:
-        sub = _cut64_condensed(mesh64, cutdata64, cut_ids, hdi, problem,
-                               eta, with_rhs)
+        sub = _cut64_condensed(batch, hdi, problem, eta, with_rhs)
         cond = cells_last.set_cells(cond, cut_ids, sub)
-    return LevelData(mesh, cutdata, cut_ids, cond, mesh64, cutdata64)
+    return LevelData(mesh, cutdata, cut_ids, cond)
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +367,7 @@ def solve_fictdom_structured(
         cg_params: Optional[cg.CGParams] = None, mg_coarsest: int = 8,
         n_smooth: int = 1, patch_ring: int = 1, mg_f32: bool = False,
         mg_smoother: str = "chebyshev", cheb_degree: int = 4,
-        compute_h1: bool = True,
+        cg_f64: Optional[bool] = None, compute_h1: bool = True,
         side: int = LOC_NEG) -> StructuredFictdomResult:
     """End-to-end fictdom solve on the generated N x N mesh (module
     docstring). ``precond``: 'mg' (reconstruction-transfer V-cycle,
@@ -294,7 +380,13 @@ def solve_fictdom_structured(
     system is float64 — the *accurate mode* recipe for TPU: assembly,
     condensation, matvec and CG recurrences in (emulated) f64 so the
     solution carries discretization-level accuracy, with the
-    preconditioner — most of the flops — on the fast f32 path."""
+    preconditioner — most of the flops — on the fast f32 path.
+
+    ``cg_f64`` (default: on whenever the f32 system runs under an
+    x64-enabled config): mixed-precision CG — f64 recurrences around
+    the f32 matvec and preconditioner. Plain f32 CG stagnates on the
+    cond ~ N^2 condensed system; the f64 recurrences restore true CG
+    convergence at f32 matvec cost."""
     if problem is None:
         problem = default_problem()
     if mixed is None:
@@ -340,6 +432,8 @@ def solve_fictdom_structured(
             for n in sizes),
         mg_coarsest=mg_coarsest, n_smooth=n_smooth, mg_f32=mg_f32,
         mg_smoother=mg_smoother, cheb_degree=cheb_degree,
+        cg_f64=(jax.config.jax_enable_x64 and not mg_f32
+                if cg_f64 is None else cg_f64),
         cg_params=cg_params)
     jax.block_until_ready(local)
     timings["solve_s"] = time.perf_counter() - t0
@@ -364,10 +458,12 @@ def solve_fictdom_structured(
                                              "precond", "cut_levels",
                                              "mg_coarsest", "n_smooth",
                                              "mg_f32", "mg_smoother",
-                                             "cheb_degree", "cg_params"))
+                                             "cheb_degree", "cg_f64",
+                                             "cg_params"))
 def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
                precond, cut_levels, mg_coarsest, n_smooth, cg_params,
-               mg_f32=False, mg_smoother="chebyshev", cheb_degree=4):
+               mg_f32=False, mg_smoother="chebyshev", cheb_degree=4,
+               cg_f64=False):
     """One compiled graph: Dirichlet fold, MG build (all setup math is
     traced), PCG, cell recovery. S_list: S_cl arrays matching the static
     ``sizes`` (ascending); the largest is the fine level."""
@@ -383,6 +479,31 @@ def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
 
     rhs = cells_last.structured_rhs_cl(sys_f, cond, gF_cl)
     apply_S = cells_last.make_structured_operator_cl(sys_f, cond.S)
+
+    if cg_f64 and cond.S.dtype == jnp.float32:
+        # mixed-precision CG: f64 recurrences (x, r, d, dots) around the
+        # f32 matvec/preconditioner. Plain f32 CG stagnates on the
+        # cond ~ N^2 condensed system (measured: 651 iters at 1024^2
+        # tol 1e-6 where the preconditioner needs ~100) — the f64
+        # recurrences restore true CG convergence at f32 matvec cost.
+        _apply32 = apply_S
+
+        def apply_S(x):
+            y = _apply32(jax.tree.map(
+                lambda a: a.astype(jnp.float32), x))
+            return jax.tree.map(lambda a: a.astype(jnp.float64), y)
+
+        rhs = jax.tree.map(lambda a: a.astype(jnp.float64), rhs)
+
+        def _prec64(p32):
+            def prec(r):
+                z = p32(jax.tree.map(
+                    lambda a: a.astype(jnp.float32), r))
+                return jax.tree.map(lambda a: a.astype(jnp.float64), z)
+            return prec
+    else:
+        def _prec64(p32):
+            return p32
 
     if precond == "mg":
         cuts = {n: np.asarray(ids, dtype=np.int64)
@@ -404,16 +525,19 @@ def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
         else:
             precondition = mg.precondition
         res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
-                                     precond=precondition)
+                                     precond=_prec64(precondition))
     elif precond == "block_jacobi":
         bj = cells_last.block_jacobi_preconditioner_cl(sys_f, cond.S)
         res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
-                                     precond=bj)
+                                     precond=bj if not cg_f64
+                                     else _prec64(bj))
     else:
         diag = cells_last.structured_diagonal_cl(sys_f, cond.S)
+        diag = jax.tree.map(lambda a: a.astype(rhs.H.dtype), diag)
         res = cg.conjugated_gradient(apply_S, rhs, diag, cg_params)
 
-    local = cells_last.solve_recover_cl(sys_f, cond, res.x, gF_cl)
+    x = jax.tree.map(lambda a: a.astype(cond.S.dtype), res.x)
+    local = cells_last.solve_recover_cl(sys_f, cond, x, gF_cl)
     return local, res.iterations, res.exit_reason, res.rel_residual
 
 

@@ -36,7 +36,7 @@ def test_h1_chunked_matches_full():
     hdi = HHODegreeInfo(k + 1, k)
     r = fs.solve_fictdom_structured(N, k, problem, mixed=False,
                                     use_pallas=False, cg_params=_cgp())
-    mesh, cutdata, cut_ids, _, _ = fs.classify_level(N, problem, 4, False)
+    mesh, cutdata, cut_ids = fs.classify_level(N, problem, 4, False)
     geom = cell_geometry(mesh)
     batch = cut_methods.make_cut_batch(mesh, geom, cutdata, cut_ids)
     full = fictdom.fictdom_h1_error(mesh, geom, batch, cutdata, hdi,
@@ -143,3 +143,42 @@ def test_debug_dumps(tmp_path, monkeypatch):
     face = np.loadtxt(ff)
     fexact = np.sin(np.pi * face[:, 0]) * np.sin(np.pi * face[:, 1])
     assert np.max(np.abs(face[:, 2] - fexact)) < 5e-3
+
+
+def test_assemble_f64_chunked_matches_upcast():
+    """The accurate-mode block-upcast assembly equals assembling from a
+    fully upcast f64 mesh (same f32-classified geometry), including the
+    cut-class splice and an uneven final block."""
+    import jax
+    from proton_tpu.core.geometry import cell_geometry
+    from proton_tpu.core.ops import HHODegreeInfo
+    from proton_tpu.cut import methods as cut_methods
+    from proton_tpu.methods import cells_last
+
+    N, k = 12, 1
+    problem = fs.default_problem()
+    hdi = HHODegreeInfo(k + 1, k)
+    eta = fs.nitsche_eta(k)
+    mesh, cutdata, cut_ids = fs.classify_level(N, problem, 4, False,
+                                               classify_f32=True)
+    geom = cell_geometry(mesh)
+    batch = cut_methods.make_cut_batch(mesh, geom, cutdata, cut_ids)
+
+    got = fs._assemble_level_cl_f64(mesh, geom, cutdata, batch, hdi,
+                                    problem, eta, with_rhs=True,
+                                    chunk=100)     # 144 cells -> 2 blocks
+    assert got.S.dtype == jnp.float64
+
+    mesh64 = fs._cast64(mesh)
+    geom64 = cell_geometry(mesh64)
+    batch64 = cut_methods.make_cut_batch(mesh64, geom64,
+                                         fs._cast64(cutdata), cut_ids)
+    ref = fs._assemble_level_cl(mesh64, geom64, fs._cast64(cutdata),
+                                batch64, hdi, problem, eta,
+                                use_pallas=False, with_rhs=True)
+    sub = fs._cut64_impl(batch, hdi=hdi, problem=problem, eta=eta,
+                         with_rhs=True, keep_f64=True)
+    ref = cells_last.set_cells(ref, cut_ids, sub)
+    for a, b in zip(got, ref):
+        scale = float(jnp.max(jnp.abs(b))) + 1.0
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-11 * scale
