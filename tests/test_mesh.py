@@ -115,3 +115,23 @@ def test_with_points_moves_geometry():
     m2 = m.with_points(m.points * 2.0)
     g2 = pt.cell_geometry(m2)
     assert np.allclose(np.asarray(g2.meas), 1.0)
+
+
+def test_structured_topology_matches_sort_based_builder():
+    """The closed-form face numbering of the generated grids is
+    byte-identical to the sort+dedup builder (the reference semantics,
+    basic_mesh.hpp:289-291), including non-square and shifted boxes."""
+    import numpy as np
+    from proton_tpu.core import mesh as M
+
+    for Nx, Ny in [(1, 1), (4, 4), (5, 3), (16, 16), (33, 7)]:
+        p = M.MeshInitParams(Nx=Nx, Ny=Ny, min_x=-0.2, max_x=1.3,
+                             min_y=0.1, max_y=0.9)
+        new = M._structured_topology(p, "poly")
+        pts, cp, raw_bnd = M._structured_arrays(p)
+        old = M._build_topology(pts, cp, np.full(len(cp), 4, np.int64),
+                                raw_bnd, "poly")
+        for f in ("points", "cell_ptids", "cell_npts", "cell_faces",
+                  "face_ptids", "face_bnd"):
+            assert np.array_equal(np.asarray(getattr(new, f)),
+                                  np.asarray(getattr(old, f))), (Nx, Ny, f)
