@@ -75,7 +75,13 @@ def main():
     n_smooth = int(os.environ.get("PROTON_BENCH_NSMOOTH", "1"))
     patch_ring = int(os.environ.get("PROTON_BENCH_RING", "1"))
     cheb_degree = int(os.environ.get("PROTON_BENCH_CHEB", "4"))
+    cg_f64 = os.environ.get("PROTON_BENCH_CGF64",
+                            "1" if _MIXED else "0") == "1"
     maxit = int(os.environ.get("PROTON_BENCH_MAXIT", "50000"))
+    # NOTE: residual replacement enlarges the CG loop body past what the
+    # TPU will run at 1024^2 (kernel fault); keep 0 on TPU until the
+    # solve is split into segment jits
+    recomp = int(os.environ.get("PROTON_BENCH_RECOMP", "0"))
 
     hdi = HHODegreeInfo(k + 1, k)
     eta = fs.nitsche_eta(k)
@@ -86,7 +92,15 @@ def main():
                   _PRECISION != "f64" and
                   os.environ.get("PROTON_BENCH_PALLAS", "1") == "1")
     cgp = cg.CGParams(convergence_threshold=tol, divergence_threshold=1e8,
-                      max_iter=maxit, apply_preconditioner=True)
+                      max_iter=maxit, apply_preconditioner=True,
+                      recompute_every=recomp)
+
+    # ---------------- warmup probe ---------------------------------------
+    # absorbs the occasional multi-minute post-fault device stall (see
+    # CLAUDE.md) so it lands in warmup_s, not in the measured phases
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.ones((256, 256)) @ jnp.ones((256, 256)))
+    t_warmup = time.perf_counter() - t0
 
     # ---------------- setup: classification + dofmap ---------------------
     # classification always runs f32 on TPU (classify_level docstring);
@@ -158,7 +172,7 @@ def main():
                              cut_levels=cut_static, mg_coarsest=8,
                              n_smooth=n_smooth, cg_params=cgp,
                              cheb_degree=cheb_degree,
-                             cg_f64=_MIXED,
+                             cg_f64=cg_f64,
                              mg_f32=_PRECISION == "f64")
 
     local, iters, exit_reason, rel = solve()
@@ -192,6 +206,7 @@ def main():
         "cut_cells": int(len(cut_ids)),
         "dofs": int(dofmap.n_dofs),
         "condensed_dofs": int(dofmap.n_dofs - dofmap.n_cells * dofmap.cbs),
+        "warmup_s": round(t_warmup, 3),
         "setup_s": round(t_setup, 3),
         "assembly_s": round(t_assembly, 4),
         "mg_setup_s": round(t_mg_setup, 3),
