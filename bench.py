@@ -75,8 +75,12 @@ def main():
     n_smooth = int(os.environ.get("PROTON_BENCH_NSMOOTH", "1"))
     patch_ring = int(os.environ.get("PROTON_BENCH_RING", "1"))
     cheb_degree = int(os.environ.get("PROTON_BENCH_CHEB", "4"))
-    cg_f64 = os.environ.get("PROTON_BENCH_CGF64",
-                            "1" if _MIXED else "0") == "1"
+    # segmented CG (true-residual restarts) is the f32-stagnation fix
+    # that runs on TPU; cg_f64 (f64 CG recurrences) faults the device at
+    # 1024^2 in the emulated-f64 loop ops
+    cg_f64 = os.environ.get("PROTON_BENCH_CGF64", "0") == "1"
+    segment = int(os.environ.get("PROTON_BENCH_SEGMENT",
+                                 "50" if _MIXED else "0"))
     maxit = int(os.environ.get("PROTON_BENCH_MAXIT", "50000"))
     # NOTE: residual replacement enlarges the CG loop body past what the
     # TPU will run at 1024^2 (kernel fault); keep 0 on TPU until the
@@ -153,7 +157,7 @@ def main():
                                  mixed=_MIXED and k >= 2,
                                  use_pallas=use_pallas,
                                  with_rhs=False)
-            S_levels[n] = lev.cond.S
+            S_levels[n] = lev.cond.S.astype(cond.S.dtype)
             cut_levels[n] = lev.cut_ids
         jax.block_until_ready(S_levels[8])
     t_mg_setup = time.perf_counter() - t0
@@ -166,14 +170,18 @@ def main():
                                                  patch_ring)))
         for n in sizes)
 
+    kw = dict(sizes=sizes, hdi=hdi, problem=problem, precond=precond,
+              cut_levels=cut_static, mg_coarsest=8,
+              n_smooth=n_smooth, cheb_degree=cheb_degree,
+              cg_f64=cg_f64, mg_f32=_PRECISION == "f64")
+
     def solve():
-        return fs._solve_jit(mesh, dofmap, cond, S_list, sizes=sizes,
-                             hdi=hdi, problem=problem, precond=precond,
-                             cut_levels=cut_static, mg_coarsest=8,
-                             n_smooth=n_smooth, cg_params=cgp,
-                             cheb_degree=cheb_degree,
-                             cg_f64=cg_f64,
-                             mg_f32=_PRECISION == "f64")
+        if segment:
+            return fs.solve_segments(mesh, dofmap, cond, S_list, cgp,
+                                     segment, kw)
+        out = fs._solve_jit(mesh, dofmap, cond, S_list, cg_params=cgp,
+                            **kw)
+        return out[0], out[2], out[3], out[4]
 
     local, iters, exit_reason, rel = solve()
     jax.block_until_ready(local)

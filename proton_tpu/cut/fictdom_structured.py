@@ -34,6 +34,7 @@ on the generated quad mesh at 1024^2). It composes:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import time
 from typing import Callable, NamedTuple, Optional
@@ -367,7 +368,8 @@ def solve_fictdom_structured(
         cg_params: Optional[cg.CGParams] = None, mg_coarsest: int = 8,
         n_smooth: int = 1, patch_ring: int = 1, mg_f32: bool = False,
         mg_smoother: str = "chebyshev", cheb_degree: int = 4,
-        cg_f64: Optional[bool] = None, compute_h1: bool = True,
+        cg_f64: Optional[bool] = None, cg_segment: int = 0,
+        compute_h1: bool = True,
         side: int = LOC_NEG) -> StructuredFictdomResult:
     """End-to-end fictdom solve on the generated N x N mesh (module
     docstring). ``precond``: 'mg' (reconstruction-transfer V-cycle,
@@ -386,7 +388,12 @@ def solve_fictdom_structured(
     x64-enabled config): mixed-precision CG — f64 recurrences around
     the f32 matvec and preconditioner. Plain f32 CG stagnates on the
     cond ~ N^2 condensed system; the f64 recurrences restore true CG
-    convergence at f32 matvec cost."""
+    convergence at f32 matvec cost.
+
+    ``cg_segment``: run the PCG as warm-started segments of this many
+    iterations, recomputing the true residual between segments — the
+    pure-f32 cure for the same stagnation (the TPU faults on large
+    emulated-f64 loop ops at 1024^2, so cg_f64 cannot run there)."""
     if problem is None:
         problem = default_problem()
     if mixed is None:
@@ -422,19 +429,26 @@ def solve_fictdom_structured(
     t0 = time.perf_counter()
     dofmap = assembly.build_dofmap(fine.mesh, hdi)
     sizes = tuple(sorted(S_levels))
-    local, iters, exit_reason, rel = _solve_jit(
-        fine.mesh, dofmap, fine.cond,
-        tuple(S_levels[n] for n in sizes), sizes=sizes,
-        hdi=hdi, problem=problem, precond=precond,
+    kw = dict(
+        sizes=sizes, hdi=hdi, problem=problem, precond=precond,
         cut_levels=tuple(
             (n, tuple(int(i) for i in
                       expand_ring(cut_levels[n], n, patch_ring)))
             for n in sizes),
         mg_coarsest=mg_coarsest, n_smooth=n_smooth, mg_f32=mg_f32,
         mg_smoother=mg_smoother, cheb_degree=cheb_degree,
-        cg_f64=(jax.config.jax_enable_x64 and not mg_f32
-                if cg_f64 is None else cg_f64),
-        cg_params=cg_params)
+        cg_f64=(jax.config.jax_enable_x64 and not mg_f32 and
+                not cg_segment
+                if cg_f64 is None else cg_f64))
+    S_list = tuple(S_levels[n] for n in sizes)
+    if not cg_segment:
+        local, _, iters, exit_reason, rel, _ = _solve_jit(
+            fine.mesh, dofmap, fine.cond, S_list, cg_params=cg_params,
+            **kw)
+    else:
+        local, iters, exit_reason, rel = solve_segments(
+            fine.mesh, dofmap, fine.cond, S_list, cg_params, cg_segment,
+            kw)
     jax.block_until_ready(local)
     timings["solve_s"] = time.perf_counter() - t0
 
@@ -454,19 +468,48 @@ def solve_fictdom_structured(
                                    timings)
 
 
+def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
+                   kw: dict):
+    """Host loop of warm-started CG segments (each a _solve_jit call
+    capped at ``segment`` iterations; the true residual is recomputed
+    at every boundary). Two compiled programs total: the cold-start
+    segment and the warm-started one."""
+    seg_params = dataclasses.replace(cg_params, max_iter=segment)
+    x = nr0 = None
+    total = 0
+    while True:
+        local, x, it, ex, rel, nr0 = _solve_jit(
+            mesh, dofmap, cond, S_list, x0=x, nr0=nr0,
+            cg_params=seg_params, **kw)
+        total += int(it)
+        ex = int(ex)
+        if ex in (cg.CONVERGED, cg.DIVERGED) or \
+                total >= cg_params.max_iter:
+            break
+    return local, jnp.int32(total), jnp.int32(ex), rel
+
+
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem",
                                              "precond", "cut_levels",
                                              "mg_coarsest", "n_smooth",
                                              "mg_f32", "mg_smoother",
                                              "cheb_degree", "cg_f64",
                                              "cg_params"))
-def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
+def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
+               hdi, problem,
                precond, cut_levels, mg_coarsest, n_smooth, cg_params,
                mg_f32=False, mg_smoother="chebyshev", cheb_degree=4,
                cg_f64=False):
     """One compiled graph: Dirichlet fold, MG build (all setup math is
     traced), PCG, cell recovery. S_list: S_cl arrays matching the static
-    ``sizes`` (ascending); the largest is the fine level."""
+    ``sizes`` (ascending); the largest is the fine level.
+
+    ``x0``/``nr0`` warm-start one SEGMENT of the solve (see
+    solve_fictdom_structured's cg_segment): the initial residual is
+    recomputed as b - A x0 — an implicit residual replacement that
+    keeps plain-f32 CG convergent on the cond ~ N^2 system without
+    enlarging the loop body (large emulated-f64 loop ops and an
+    in-loop replacement branch both fault the TPU at 1024^2)."""
     S_levels = dict(zip(sizes, S_list))
     N = max(S_levels)
     fbs = bases.face_basis_size(hdi.face_degree)
@@ -525,20 +568,26 @@ def _solve_jit(mesh, dofmap, cond, S_list, *, sizes, hdi, problem,
         else:
             precondition = mg.precondition
         res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
-                                     precond=_prec64(precondition))
+                                     precond=_prec64(precondition),
+                                     x0=x0, nr0=nr0)
     elif precond == "block_jacobi":
         bj = cells_last.block_jacobi_preconditioner_cl(sys_f, cond.S)
         res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
                                      precond=bj if not cg_f64
-                                     else _prec64(bj))
+                                     else _prec64(bj),
+                                     x0=x0, nr0=nr0)
     else:
         diag = cells_last.structured_diagonal_cl(sys_f, cond.S)
         diag = jax.tree.map(lambda a: a.astype(rhs.H.dtype), diag)
-        res = cg.conjugated_gradient(apply_S, rhs, diag, cg_params)
+        res = cg.conjugated_gradient(apply_S, rhs, diag, cg_params,
+                                     x0=x0, nr0=nr0)
 
+    nr0_out = jnp.sqrt(sum(jnp.vdot(l, l).real for l in
+                           jax.tree.leaves(rhs))) if nr0 is None else nr0
     x = jax.tree.map(lambda a: a.astype(cond.S.dtype), res.x)
     local = cells_last.solve_recover_cl(sys_f, cond, x, gF_cl)
-    return local, res.iterations, res.exit_reason, res.rel_residual
+    return (local, res.x, res.iterations, res.exit_reason,
+            res.rel_residual, nr0_out)
 
 
 # ---------------------------------------------------------------------------

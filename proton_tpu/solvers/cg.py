@@ -72,7 +72,8 @@ def _tree_axpy(alpha, x, y):
 
 def conjugated_gradient(apply_A: Callable, b, diag=None,
                         params: CGParams = CGParams(),
-                        precond: Optional[Callable] = None) -> CGResult:
+                        precond: Optional[Callable] = None,
+                        x0=None, nr0=None) -> CGResult:
     """PCG with x0 = 0 (solver_cg.hpp:63-144). ``diag`` is the operator
     diagonal, required when apply_preconditioner is set; alternatively pass
     an explicit SPD ``precond`` callable r -> M^-1 r (e.g. the per-face
@@ -80,7 +81,12 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
 
     ``b`` (and the operator's domain) may be any pytree of arrays — e.g.
     the structured-grid face layout of methods/structured.py — not just a
-    flat vector; inner products reduce over all leaves."""
+    flat vector; inner products reduce over all leaves.
+
+    ``x0``/``nr0`` support *segmented* restarts: with a warm start the
+    initial residual is the TRUE residual b - A x0 (an implicit residual
+    replacement against f32 recurrence drift), and the convergence test
+    uses the caller's global ``nr0`` instead of the segment's."""
     leaves = jax.tree.leaves(b)
     dtype = leaves[0].dtype
     if precond is not None:
@@ -96,12 +102,16 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
         def precond(r):
             return r
 
-    x0 = jax.tree.map(jnp.zeros_like, b)
-    r0 = b  # r = b - A*0
+    if x0 is None:
+        x0 = jax.tree.map(jnp.zeros_like, b)
+        r0 = b  # r = b - A*0
+    else:
+        r0 = jax.tree.map(lambda bb, aa: bb - aa, b, apply_A(x0))
     z0 = precond(r0)
     d0 = z0
     rho0 = _tree_vdot(r0, z0)
-    nr0 = jnp.sqrt(_tree_vdot(r0, r0))
+    nr_init = jnp.sqrt(_tree_vdot(r0, r0))
+    nr0 = nr_init if nr0 is None else nr0
     hist_len = params.max_iter + 2 if params.record_history else 1
     hist0 = jnp.full((hist_len,), jnp.nan, dtype=dtype)
 
@@ -145,7 +155,8 @@ def conjugated_gradient(apply_A: Callable, b, diag=None,
         d = _tree_axpy(beta, d, z)
         return (x, r, d, rho_new, nr, it + 1, exit_code, hist)
 
-    state0 = (x0, r0, d0, rho0, nr0, jnp.int32(0), jnp.int32(-1), hist0)
+    state0 = (x0, r0, d0, rho0, nr_init, jnp.int32(0), jnp.int32(-1),
+              hist0)
     x, r, d, rho, nr, it, exit_code, hist = jax.lax.while_loop(
         cond, body, state0)
     if params.record_history:
