@@ -182,3 +182,17 @@ def test_assemble_f64_chunked_matches_upcast():
     for a, b in zip(got, ref):
         scale = float(jnp.max(jnp.abs(b))) + 1.0
         assert float(jnp.max(jnp.abs(a - b))) < 1e-11 * scale
+
+
+def test_segmented_solve_matches_plain():
+    """cg_segment: warm-started segments with true-residual restarts
+    converge to the same solution as the single while_loop solve."""
+    cgp = cg.CGParams(convergence_threshold=1e-10, divergence_threshold=1e8,
+                      max_iter=10000, apply_preconditioner=True)
+    r1 = fs.solve_fictdom_structured(16, 1, mixed=False, use_pallas=False,
+                                     cg_params=cgp)
+    r2 = fs.solve_fictdom_structured(16, 1, mixed=False, use_pallas=False,
+                                     cg_params=cgp, cg_segment=4)
+    assert int(r2.exit_reason) == cg.CONVERGED
+    assert float(r2.rel_residual) < 1e-10
+    assert np.isclose(float(r1.h1_error), float(r2.h1_error), rtol=1e-9)
