@@ -314,23 +314,18 @@ def refine_interface(mesh, phi, cells: CellCuts, levels: int):
     """
     R = 2 ** levels
     C = mesh.num_cells
-    iface = jnp.zeros((C, R + 1, 2), dtype=mesh.points.dtype)
-    iface = iface.at[:, 0].set(cells.p0)
-    iface = iface.at[:, R].set(cells.p1)
+    # polyline grown by INTERLEAVING (stack + reshape + concat): the
+    # scatter formulation (iface.at[:, mids].set) overflows the TPU's
+    # 16M scoped vmem once the geometry axis is vmapped (cut/batched.py)
+    pts = jnp.stack([cells.p0, cells.p1], axis=1)       # [C, 2, 2]
     if levels == 0:
         # degenerate: single segment p0-p1 (reference requires levels >= 1
         # for an actual polyline; detect_cut_cells already stored p0, p1)
-        return iface
-
-    diam = None  # threshold no longer needed: fixed-iteration bisection
+        return pts
 
     for d in range(levels):
-        span = R >> d                       # current span length
-        starts = jnp.arange(0, R, span)     # [2^d]
-        mids = starts + span // 2
-        ends = starts + span
-        p0 = iface[:, starts]               # [C, S, 2]
-        p1 = iface[:, ends]
+        p0 = pts[:, :-1]                    # [C, S, 2]
+        p1 = pts[:, 1:]
         pm = 0.5 * (p0 + p1)
         pt = p1 - p0
         pn = jnp.stack([-pt[..., 1], pt[..., 0]], axis=-1)
@@ -344,9 +339,11 @@ def refine_interface(mesh, phi, cells: CellCuts, levels: int):
         # unconditionally as fallback — validate via interface length tests)
         pb = jnp.where(diff1[..., None], ps1, ps2)
         ip = find_zero_crossings(pm, pb, phi)
-        iface = iface.at[:, mids].set(ip)
+        S = p0.shape[1]
+        inter = jnp.stack([p0, ip], axis=2).reshape(C, 2 * S, 2)
+        pts = jnp.concatenate([inter, pts[:, -1:]], axis=1)
 
-    return iface
+    return pts
 
 
 def _preprocess_core(mesh, phi, levels: int, agglomeration: bool,
