@@ -17,10 +17,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# k=1 families run float32 on TPU: emulated f64 in the row-major
+# [C, d, d] local-operator layout tile-pads ~16x and OOMs at 256^2 x 8
+# geometries (f64 stays the default off-TPU for the accuracy gates)
+os.environ.setdefault("PROTON_TPU_X64", "0")
 
 
 def main(argv=None):
