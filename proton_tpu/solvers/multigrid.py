@@ -341,6 +341,59 @@ def make_chebyshev_smoother(apply_A, precond, lam_max, degree: int = 4,
     return smooth
 
 
+def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
+                                       sys_c: StructuredFaceSystem,
+                                       hdi, h_coarse: float,
+                                       dtype=jnp.float32):
+    """EXPLICIT adjoint of make_reconstruction_prolongation_cl, written
+    as a stencil: per coarse cell, gather its 12 fine-face cotangents by
+    strided slicing (skeleton faces carry the prolongation's 0.5
+    averaging weight), contract with the transfer matrices transposed,
+    and accumulate cell contributions onto the coarse grids with the
+    scatter-free concatenation adds of grid_scatter_cl.
+
+    jax.linear_transpose of the prolongation is numerically identical
+    (tests assert it) but XLA transposes the interleaving into real
+    SCATTERS — ~8 ns/element on TPU, which dominated the V-cycle
+    (measured ~56 ms/iteration at 1024^2)."""
+    from ..methods.cells_last import GridVecCL, grid_scatter_cl
+
+    fbs = sys_f.fbs
+    assert sys_f.Nx == 2 * sys_c.Nx and sys_f.Ny == 2 * sys_c.Ny
+    MH, MV = _transfer_slot_matrices(hdi, h_coarse, dtype)
+    Nyc, Nxc = sys_c.Ny, sys_c.Nx
+
+    def restrict(rf: "GridVecCL") -> "GridVecCL":
+        # adjoint of the prolongation's final masking: mask the input
+        H = rf.H * sys_f.freeH[None]
+        V = rf.V * sys_f.freeV[None]
+
+        # coarse cell (J, I) sees fine H rows 2J (its bottom slot,
+        # carrying the skeleton 0.5 averaging weight), 2J+1 (mid, its
+        # own), 2J+2 (top, 0.5); columns (2I, 2I+1) pair contiguously
+        re = H[:, 0::2, :].reshape(fbs, Nyc + 1, Nxc, 2)
+        ro = H[:, 1::2, :].reshape(fbs, Nyc, Nxc, 2)
+        fh = jnp.stack([0.5 * re[:, :-1], ro, 0.5 * re[:, 1:]],
+                       axis=3)               # [fbs, Nyc, Nxc, 3r, 2c]
+
+        # fine V cols 2I (left, 0.5), 2I+1 (mid), 2I+2 (right, 0.5);
+        # rows (2J, 2J+1) pair contiguously
+        ce = V[:, :, 0::2].reshape(fbs, Nyc, 2, Nxc + 1)
+        co = V[:, :, 1::2].reshape(fbs, Nyc, 2, Nxc)
+        fv = jnp.stack([0.5 * ce[..., :-1], co, 0.5 * ce[..., 1:]],
+                       axis=4)               # [fbs, Nyc, 2r, Nxc, 3c]
+
+        # transposed transfer contraction: xl_cot[n] =
+        # sum_{r,c,f} M[r,c,f,n] * rf_slot[r,c,f]; then the cell->face
+        # accumulation is the scatter-free concatenation add
+        a = jnp.einsum("rcfn,fYXrc->nYX", MH, fh)
+        b = jnp.einsum("rcfn,fYrXc->nYX", MV, fv)
+        contrib = (a + b).reshape(4 * fbs, Nyc * Nxc)
+        return grid_scatter_cl(sys_c, contrib)
+
+    return restrict
+
+
 class MGLevel(NamedTuple):
     sys: StructuredFaceSystem
     apply_S: Callable
@@ -516,11 +569,18 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                                  "(reconstruction-based transfers)")
             else:
                 prol = make_prolongation(sys_n, systems[nc], dtype)
-            # restriction = exact adjoint of prolongation
-            t = jax.linear_transpose(prol, zeros_grid(nc))
+            if layout == "cl" and hdi is not None:
+                # explicit stencil adjoint: jax.linear_transpose turns
+                # the interleaving into TPU scatters (~8 ns/element),
+                # which dominated the V-cycle at 1024^2
+                restrict = make_reconstruction_restriction_cl(
+                    sys_n, systems[nc], hdi, domain / nc, dtype)
+            else:
+                # restriction = exact adjoint of prolongation
+                t = jax.linear_transpose(prol, zeros_grid(nc))
 
-            def restrict(r, _t=t):
-                return _t(r)[0]
+                def restrict(r, _t=t):
+                    return _t(r)[0]
         else:
             prol, restrict = None, None
         levels.append(MGLevel(sys_n, apply_S, smoothers, prol,

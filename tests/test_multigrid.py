@@ -77,3 +77,29 @@ def test_mg_preconditioned_cg_matches_jacobi():
                        atol=1e-7)
     assert np.allclose(np.asarray(r_m.x.V), np.asarray(r_j.x.V),
                        atol=1e-7)
+
+
+def test_explicit_restriction_matches_linear_transpose():
+    """The hand-written stencil restriction (cells-last) equals
+    jax.linear_transpose of the reconstruction prolongation exactly."""
+    from proton_tpu.methods import cells_last as cl
+
+    fbs, Nc = 2, 8
+    hdi = HHODegreeInfo(2, 1)
+    sys_f = structured.make_structured_system(2 * Nc, 2 * Nc, fbs)
+    sys_c = structured.make_structured_system(Nc, Nc, fbs)
+    prol = multigrid.make_reconstruction_prolongation_cl(
+        sys_f, sys_c, hdi, 1.0 / Nc, jnp.float64)
+    rest = multigrid.make_reconstruction_restriction_cl(
+        sys_f, sys_c, hdi, 1.0 / Nc, jnp.float64)
+
+    zc = cl.GridVecCL(jnp.zeros((fbs, Nc + 1, Nc)),
+                      jnp.zeros((fbs, Nc, Nc + 1)))
+    t = jax.linear_transpose(prol, zc)
+    rf = cl.GridVecCL(
+        jax.random.normal(jax.random.PRNGKey(0), (fbs, 2 * Nc + 1, 2 * Nc)),
+        jax.random.normal(jax.random.PRNGKey(1), (fbs, 2 * Nc, 2 * Nc + 1)))
+    ref = t(rf)[0]
+    got = rest(rf)
+    assert np.allclose(np.asarray(got.H), np.asarray(ref.H), atol=1e-13)
+    assert np.allclose(np.asarray(got.V), np.asarray(ref.V), atol=1e-13)
