@@ -468,24 +468,112 @@ def solve_fictdom_structured(
                                    timings)
 
 
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi",
+                                             "cut_levels", "mg_coarsest",
+                                             "cheb_degree"))
+def _mg_setup_jit(S_list, *, sizes, hdi, cut_levels, mg_coarsest,
+                  cheb_degree):
+    S_levels = dict(zip(sizes, S_list))
+    cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
+    fbs = bases.face_basis_size(hdi.face_degree)
+    return multigrid.mg_setup_cl(max(sizes), fbs, S_levels, hdi,
+                                 coarsest=mg_coarsest,
+                                 cut_ids_per_level=cuts,
+                                 cheb_degree=cheb_degree)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem"))
+def _rhs_jit(mesh, dofmap, cond, *, sizes, hdi, problem):
+    N = max(sizes)
+    fbs = bases.face_basis_size(hdi.face_degree)
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    sys_f = structured.make_structured_system(N, N, fbs)
+    fd = assembly.dirichlet_face_data(mesh, hdi, problem.sol_fun)
+    g_loc = assembly.local_dirichlet_data(dofmap, mesh, fd)
+    gF_cl = g_loc[:, cbs:].T
+    rhs = cells_last.structured_rhs_cl(sys_f, cond, gF_cl)
+    return rhs, gF_cl
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi",
+                                             "cut_levels", "mg_coarsest",
+                                             "n_smooth", "cheb_degree",
+                                             "cg_params"))
+def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
+                cut_levels, mg_coarsest, n_smooth, cheb_degree,
+                cg_params):
+    N = max(sizes)
+    fbs = bases.face_basis_size(hdi.face_degree)
+    sys_f = structured.make_structured_system(N, N, fbs)
+    apply_S = cells_last.make_structured_operator_cl(sys_f, S_fine)
+    cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
+    precond = functools.partial(
+        multigrid.mg_precondition_cl, mgdata, N=N, fbs=fbs,
+        cut_ids_per_level=cuts, coarsest=mg_coarsest,
+        n_smooth=n_smooth, cheb_degree=cheb_degree, hdi=hdi)
+    res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
+                                 precond=precond, x0=x0, nr0=nr0)
+    nr0_out = jnp.sqrt(sum(jnp.vdot(l, l).real for l in
+                           jax.tree.leaves(rhs))) if nr0 is None else nr0
+    return res.x, res.iterations, res.exit_reason, res.rel_residual, \
+        nr0_out
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi"))
+def _recover_jit(cond, x, gF_cl, *, sizes, hdi):
+    N = max(sizes)
+    fbs = bases.face_basis_size(hdi.face_degree)
+    sys_f = structured.make_structured_system(N, N, fbs)
+    x = jax.tree.map(lambda a: a.astype(cond.S.dtype), x)
+    return cells_last.solve_recover_cl(sys_f, cond, x, gF_cl)
+
+
 def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
                    kw: dict):
-    """Host loop of warm-started CG segments (each a _solve_jit call
-    capped at ``segment`` iterations; the true residual is recomputed
-    at every boundary). Two compiled programs total: the cold-start
-    segment and the warm-started one."""
+    """Host loop of warm-started CG segments with the true residual
+    recomputed at every boundary. The MG setup (patch inversions,
+    lambda_max power iterations, transfer stencils, the dense coarse
+    factorization) runs ONCE in its own jit; each segment only applies
+    the V-cycle from the precomputed MGDataCL arrays."""
     seg_params = dataclasses.replace(cg_params, max_iter=segment)
+    if kw.get("precond") != "mg" or kw.get("mg_f32") or \
+            kw.get("cg_f64") or kw.get("mg_smoother",
+                                       "chebyshev") != "chebyshev":
+        # non-MG / special modes: per-segment _solve_jit (setup is cheap
+        # there or the mode is CPU-only anyway)
+        x = nr0 = None
+        total = 0
+        while True:
+            local, x, it, ex, rel, nr0 = _solve_jit(
+                mesh, dofmap, cond, S_list, x0=x, nr0=nr0,
+                cg_params=seg_params, **kw)
+            total += int(it)
+            ex = int(ex)
+            if ex in (cg.CONVERGED, cg.DIVERGED) or \
+                    total >= cg_params.max_iter:
+                break
+        return local, jnp.int32(total), jnp.int32(ex), rel
+
+    sizes = kw["sizes"]
+    hdi = kw["hdi"]
+    stat = dict(sizes=sizes, hdi=hdi, cut_levels=kw["cut_levels"],
+                mg_coarsest=kw["mg_coarsest"],
+                cheb_degree=kw.get("cheb_degree", 4))
+    mgdata = _mg_setup_jit(S_list, **stat)
+    rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
+                          problem=kw["problem"])
     x = nr0 = None
     total = 0
     while True:
-        local, x, it, ex, rel, nr0 = _solve_jit(
-            mesh, dofmap, cond, S_list, x0=x, nr0=nr0,
-            cg_params=seg_params, **kw)
+        x, it, ex, rel, nr0 = _cg_seg_jit(
+            cond.S, mgdata, rhs, x, nr0,
+            n_smooth=kw.get("n_smooth", 1), cg_params=seg_params, **stat)
         total += int(it)
         ex = int(ex)
         if ex in (cg.CONVERGED, cg.DIVERGED) or \
                 total >= cg_params.max_iter:
             break
+    local = _recover_jit(cond, x, gF_cl, sizes=sizes, hdi=hdi)
     return local, jnp.int32(total), jnp.int32(ex), rel
 
 

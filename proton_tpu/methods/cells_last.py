@@ -247,27 +247,37 @@ def _inv_planes(B):
     return jnp.transpose(inv, back)
 
 
+def block_jacobi_setup_cl(sys: StructuredFaceSystem, S_cl):
+    """Setup arrays of the per-face block-Jacobi: inverse fbs x fbs
+    blocks in grid planes (iH [fbs, fbs, Ny+1, Nx], iV likewise)."""
+    BH, BV = assembled_face_blocks_cl(sys, S_cl)
+    return _inv_planes(BH), _inv_planes(BV)
+
+
+def apply_block_jacobi_cl(iH, iV, r: GridVecCL) -> GridVecCL:
+    fbs = r.H.shape[0]
+    H = jnp.stack([sum(iH[i, j] * r.H[j] for j in range(fbs))
+                   for i in range(fbs)])
+    V = jnp.stack([sum(iV[i, j] * r.V[j] for j in range(fbs))
+                   for i in range(fbs)])
+    return GridVecCL(H, V)
+
+
 def block_jacobi_preconditioner_cl(sys: StructuredFaceSystem, S_cl):
     """Per-face block-Jacobi, cells-last (cf.
     structured.block_jacobi_preconditioner)."""
-    fbs = sys.fbs
-    BH, BV = assembled_face_blocks_cl(sys, S_cl)
-    iH, iV = _inv_planes(BH), _inv_planes(BV)
+    iH, iV = block_jacobi_setup_cl(sys, S_cl)
 
     def precond(r: GridVecCL) -> GridVecCL:
-        H = jnp.stack([sum(iH[i, j] * r.H[j] for j in range(fbs))
-                       for i in range(fbs)])
-        V = jnp.stack([sum(iV[i, j] * r.V[j] for j in range(fbs))
-                       for i in range(fbs)])
-        return GridVecCL(H, V)
+        return apply_block_jacobi_cl(iH, iV, r)
 
     return precond
 
 
-def make_cut_patch_smoother_cl(sys: StructuredFaceSystem, S_cl, cut_ids):
-    """Interface-patch additive Schwarz smoother, cells-last (cf.
-    structured.make_cut_patch_smoother for the construction and
-    rationale)."""
+def cut_patch_setup_cl(sys: StructuredFaceSystem, S_cl, cut_ids):
+    """Setup arrays of the interface-patch smoother: inverted patch
+    blocks [Cc, 4*fbs, 4*fbs] and the 1/sqrt(multiplicity) overlap
+    weight grids."""
     fbs, Nx = sys.fbs, sys.Nx
     nfd = 4 * fbs
     ids_np = np.asarray(cut_ids)
@@ -300,17 +310,34 @@ def make_cut_patch_smoother_cl(sys: StructuredFaceSystem, S_cl, cut_ids):
                    0.0)
     wV = jnp.where(mult.V > 0, 1.0 / jnp.sqrt(jnp.maximum(mult.V, 1.0)),
                    0.0)
+    return Binv, wH, wV
+
+
+def apply_cut_patch_cl(sys: StructuredFaceSystem, cut_ids, Binv, wH, wV,
+                       r: GridVecCL) -> GridVecCL:
+    fbs, Nx = sys.fbs, sys.Nx
+    ids_np = np.asarray(cut_ids)
+    jj = jnp.asarray(ids_np // Nx, dtype=jnp.int32)
+    ii = jnp.asarray(ids_np % Nx, dtype=jnp.int32)
+    rH, rV = r.H * wH, r.V * wV
+    rl = jnp.concatenate([rH[:, jj, ii], rV[:, jj, ii + 1],
+                          rH[:, jj + 1, ii], rV[:, jj, ii]], axis=0)
+    xc = _einsum("cij,jc->ic", Binv, rl).reshape(4, fbs, -1)
+    H = jnp.zeros_like(r.H)
+    H = H.at[:, jj, ii].add(xc[0]).at[:, jj + 1, ii].add(xc[2])
+    V = jnp.zeros_like(r.V)
+    V = V.at[:, jj, ii].add(xc[3]).at[:, jj, ii + 1].add(xc[1])
+    return mask_cl(sys, GridVecCL(H * wH, V * wV))
+
+
+def make_cut_patch_smoother_cl(sys: StructuredFaceSystem, S_cl, cut_ids):
+    """Interface-patch additive Schwarz smoother, cells-last (cf.
+    structured.make_cut_patch_smoother for the construction and
+    rationale)."""
+    Binv, wH, wV = cut_patch_setup_cl(sys, S_cl, cut_ids)
 
     def apply_patch(r: GridVecCL) -> GridVecCL:
-        rH, rV = r.H * wH, r.V * wV
-        rl = jnp.concatenate([rH[:, jj, ii], rV[:, jj, ii + 1],
-                              rH[:, jj + 1, ii], rV[:, jj, ii]], axis=0)
-        xc = _einsum("cij,jc->ic", Binv, rl).reshape(4, fbs, -1)
-        H = jnp.zeros_like(r.H)
-        H = H.at[:, jj, ii].add(xc[0]).at[:, jj + 1, ii].add(xc[2])
-        V = jnp.zeros_like(r.V)
-        V = V.at[:, jj, ii].add(xc[3]).at[:, jj, ii + 1].add(xc[1])
-        return mask_cl(sys, GridVecCL(H * wH, V * wV))
+        return apply_cut_patch_cl(sys, cut_ids, Binv, wH, wV, r)
 
     return apply_patch
 

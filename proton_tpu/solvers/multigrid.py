@@ -245,14 +245,16 @@ def make_reconstruction_prolongation(sys_f: StructuredFaceSystem,
 def make_reconstruction_prolongation_cl(sys_f: StructuredFaceSystem,
                                         sys_c: StructuredFaceSystem,
                                         hdi, h_coarse: float,
-                                        dtype=jnp.float32):
+                                        dtype=jnp.float32, mats=None):
     """Cells-last variant of make_reconstruction_prolongation (operates on
-    cells_last.GridVecCL grids)."""
+    cells_last.GridVecCL grids). ``mats``: precomputed (MH, MV) transfer
+    matrices (mg_setup_cl passes them across the jit boundary)."""
     from ..methods.cells_last import GridVecCL, grid_gather_cl
 
     fbs = sys_f.fbs
     assert sys_f.Nx == 2 * sys_c.Nx and sys_f.Ny == 2 * sys_c.Ny
-    MH, MV = _transfer_slot_matrices(hdi, h_coarse, dtype)
+    MH, MV = mats if mats is not None else \
+        _transfer_slot_matrices(hdi, h_coarse, dtype)
 
     def prolong(xc: "GridVecCL") -> "GridVecCL":
         Nyc, Nxc = sys_c.Ny, sys_c.Nx
@@ -344,7 +346,7 @@ def make_chebyshev_smoother(apply_A, precond, lam_max, degree: int = 4,
 def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
                                        sys_c: StructuredFaceSystem,
                                        hdi, h_coarse: float,
-                                       dtype=jnp.float32):
+                                       dtype=jnp.float32, mats=None):
     """EXPLICIT adjoint of make_reconstruction_prolongation_cl, written
     as a stencil: per coarse cell, gather its 12 fine-face cotangents by
     strided slicing (skeleton faces carry the prolongation's 0.5
@@ -360,7 +362,8 @@ def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
 
     fbs = sys_f.fbs
     assert sys_f.Nx == 2 * sys_c.Nx and sys_f.Ny == 2 * sys_c.Ny
-    MH, MV = _transfer_slot_matrices(hdi, h_coarse, dtype)
+    MH, MV = mats if mats is not None else \
+        _transfer_slot_matrices(hdi, h_coarse, dtype)
     Nyc, Nxc = sys_c.Ny, sys_c.Nx
 
     def restrict(rf: "GridVecCL") -> "GridVecCL":
@@ -392,6 +395,129 @@ def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
         return grid_scatter_cl(sys_c, contrib)
 
     return restrict
+
+
+def _mg_sizes(N: int, coarsest: int):
+    sizes = []
+    n = N
+    while n >= coarsest:
+        sizes.append(n)
+        if n == coarsest:
+            break
+        n //= 2
+    return sizes
+
+
+class MGDataCL(NamedTuple):
+    """All V-cycle setup ARRAYS as a pytree (cells-last layout), so MG
+    setup can live in its own jit and the CG segments reuse it instead
+    of re-executing patch inversions / lambda_max power iterations /
+    the coarse factorization on every warm-started segment."""
+
+    S: tuple           # per level [nfd*nfd, C_n], fine -> coarse
+    bj: tuple          # per level (iH, iV) block-Jacobi inverse planes
+    lam: tuple         # per level Chebyshev lambda_max (scalar arrays)
+    patch: tuple       # per level (Binv, wH, wV) or () when no cut cells
+    transfers: tuple   # per gap (MH, MV) transfer-matrix stencils
+    coarse_chol: jnp.ndarray
+
+
+def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
+                coarsest: int = 8, cut_ids_per_level=None,
+                cheb_degree: int = 4) -> MGDataCL:
+    """Compute every array the Chebyshev-smoothed cells-last V-cycle
+    needs (see MGDataCL). Pure function of the S arrays — jit it with
+    S as arguments (closures over big arrays break the axon remote
+    compile)."""
+    from ..methods import cells_last as cl
+
+    sizes = _mg_sizes(N, coarsest)
+    systems = {n: make_structured_system(n, n, fbs) for n in sizes}
+    dtype = S_per_level[N].dtype
+
+    S_t, bj_t, lam_t, patch_t, trans_t = [], [], [], [], []
+    for i, n in enumerate(sizes):
+        sys_n = systems[n]
+        S_n = S_per_level[n]
+        S_t.append(S_n)
+        iH, iV = cl.block_jacobi_setup_cl(sys_n, S_n)
+        bj_t.append((iH, iV))
+        apply_S = cl.make_structured_operator_cl(sys_n, S_n)
+        base = partial(cl.apply_block_jacobi_cl, iH, iV)
+        like = cl.GridVecCL(jnp.zeros((fbs, n + 1, n), dtype),
+                            jnp.zeros((fbs, n, n + 1), dtype))
+        lam_t.append(estimate_lambda_max(apply_S, base, like))
+        ids = None if cut_ids_per_level is None else \
+            cut_ids_per_level.get(n, None)
+        if ids is not None and len(ids) > 0:
+            patch_t.append(cl.cut_patch_setup_cl(sys_n, S_n, ids))
+        else:
+            patch_t.append(())
+        if i + 1 < len(sizes):
+            nc = sizes[i + 1]
+            trans_t.append(_transfer_slot_matrices(hdi, domain / nc,
+                                                   dtype))
+
+    # densify + factor the coarsest operator
+    nco = sizes[-1]
+    sys_c = systems[nco]
+    apply_c = cl.make_structured_operator_cl(sys_c, S_per_level[nco])
+    hshape = (fbs, nco + 1, nco)
+    vshape = (fbs, nco, nco + 1)
+    ntot = int(np.prod(hshape) + np.prod(vshape))
+    eye = jnp.eye(ntot, dtype=dtype)
+
+    def col(v):
+        return _flatten(apply_c(_unflatten(v, (hshape, vshape), "cl")))
+
+    Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
+    chol = jnp.linalg.cholesky(Ac)
+    return MGDataCL(tuple(S_t), tuple(bj_t), tuple(lam_t),
+                    tuple(patch_t), tuple(trans_t), chol)
+
+
+def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
+                       cut_ids_per_level=None, coarsest: int = 8,
+                       n_smooth: int = 1, cheb_degree: int = 4,
+                       hdi=None):
+    """Apply the V-cycle from precomputed MGDataCL arrays (the pure-
+    function twin of Multigrid.precondition; cut ids are static)."""
+    from ..methods import cells_last as cl
+
+    sizes = _mg_sizes(N, coarsest)
+    systems = {n: make_structured_system(n, n, fbs) for n in sizes}
+    levels = []
+    for i, n in enumerate(sizes):
+        sys_n = systems[n]
+        apply_S = cl.make_structured_operator_cl(sys_n, data.S[i])
+        iH, iV = data.bj[i]
+        base = partial(cl.apply_block_jacobi_cl, iH, iV)
+        smooth = make_chebyshev_smoother(apply_S, base, data.lam[i],
+                                         degree=cheb_degree)
+        smoothers = (smooth,)
+        if data.patch[i]:
+            Binv, wH, wV = data.patch[i]
+            ids = cut_ids_per_level[n]
+            smoothers = (smooth,
+                         partial(cl.apply_cut_patch_cl, sys_n, ids,
+                                 Binv, wH, wV))
+        if i + 1 < len(sizes):
+            nc = sizes[i + 1]
+            prol = make_reconstruction_prolongation_cl(
+                sys_n, systems[nc], hdi, 1.0 / nc,
+                data.S[i].dtype, mats=data.transfers[i])
+            restrict = make_reconstruction_restriction_cl(
+                sys_n, systems[nc], hdi, 1.0 / nc,
+                data.S[i].dtype, mats=data.transfers[i])
+        else:
+            prol = restrict = None
+        levels.append(MGLevel(sys_n, apply_S, smoothers, prol, restrict))
+
+    nco = sizes[-1]
+    mg = Multigrid(levels, data.coarse_chol,
+                   ((fbs, nco + 1, nco), (fbs, nco, nco + 1)),
+                   n_smooth, 0.67, "cl")
+    return mg.precondition(r)
 
 
 class MGLevel(NamedTuple):
