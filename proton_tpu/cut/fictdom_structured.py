@@ -195,7 +195,8 @@ def _assemble_level_cl(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
     stab_cut = cut_methods.cut_stabilization(batch, hdi, side)
     lc_cut = data_cut + stab_cut                       # [Cc, d, d]
     d = lc_cut.shape[1]
-    lc_cl = lc_cl.at[:, batch.ids].set(
+    lc_cl = cells_last.set_columns(
+        lc_cl, batch.ids,
         jnp.transpose(lc_cut, (1, 2, 0)).reshape(d * d, -1))
 
     cbs = bases.cell_basis_size(hdi.cell_degree)

@@ -112,10 +112,26 @@ def from_row_major(cond_rm) -> CondensedCL:
         jnp.transpose(cond_rm.fT, (1, 0)))
 
 
+def set_columns(a, ids, b):
+    """a[:, ids] = b WITHOUT a lane-dimension scatter: libtpu faults on
+    indexed scatters along the minor axis (reproduced at [484, 65536]
+    with ~700 indices — the k=2 worker-crash bug). ``ids`` must be
+    sorted ascending; out-of-range ids (sentinel padding, cut/batched.py)
+    never match and are dropped, matching scatter-drop semantics."""
+    ids = jnp.asarray(ids)
+    if ids.shape[0] == 0:
+        return a
+    C = a.shape[-1]
+    cols = jnp.arange(C, dtype=ids.dtype)
+    pos = jnp.clip(jnp.searchsorted(ids, cols), 0, ids.shape[0] - 1)
+    match = ids[pos] == cols
+    return jnp.where(match[None, :], b[..., pos], a)
+
+
 def set_cells(cond: CondensedCL, ids, sub: CondensedCL) -> CondensedCL:
     """Overwrite the columns ``ids`` with another (small) condensed batch
     (the cut-cell class overwrite of the fictdom assembly)."""
-    return CondensedCL(*(a.at[:, ids].set(b)
+    return CondensedCL(*(set_columns(a, ids, b)
                          for a, b in zip(cond, sub)))
 
 
@@ -303,8 +319,10 @@ def cut_patch_setup_cl(sys: StructuredFaceSystem, S_cl, cut_ids):
         jnp.eye(nfd, dtype=S_cl.dtype) * (1.0 - m)[:, None, :]
     Binv = jnp.linalg.inv(B)
 
-    onesl = jnp.zeros((nfd, S_cl.shape[1]), S_cl.dtype).at[:, ids_np].set(
-        1.0)
+    # column membership without a lane-dim scatter (libtpu bug)
+    mask = jnp.zeros((S_cl.shape[1],), S_cl.dtype).at[
+        jnp.asarray(ids_np)].set(1.0)
+    onesl = jnp.broadcast_to(mask, (nfd, S_cl.shape[1]))
     mult = grid_scatter_cl(sys, onesl)
     wH = jnp.where(mult.H > 0, 1.0 / jnp.sqrt(jnp.maximum(mult.H, 1.0)),
                    0.0)
