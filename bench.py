@@ -159,7 +159,7 @@ def main():
                                  with_rhs=False)
             S_levels[n] = lev.cond.S.astype(cond.S.dtype)
             cut_levels[n] = lev.cut_ids
-        jax.block_until_ready(S_levels[8])
+        jax.block_until_ready(S_levels[min(S_levels)])
     t_mg_setup = time.perf_counter() - t0
 
     # ---------------- condensed face-grid solve ---------------------------

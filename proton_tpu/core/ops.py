@@ -132,10 +132,13 @@ def robust_spd_solve(A, B):
     tr = jnp.trace(A, axis1=-2, axis2=-1) / A.shape[-1]
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
     A_reg = A + (16.0 * eps * tr)[..., None, None] * eye
-    if A.dtype == jnp.float64:
+    if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
         # XLA:TPU has no f64 LuDecomposition; the shifted Cholesky is an
         # equivalent fallback here (the blocks are SPD at f64 rounding —
-        # the LU branch exists for f32, where they can round indefinite)
+        # the LU branch exists for f32, where they can round indefinite).
+        # On CPU the LU fallback is kept even at f64, so a genuinely
+        # indefinite block (beyond rounding) still solves instead of
+        # propagating NaN.
         X_fb = equilibrated_cho_solve(A_reg, B)
     else:
         X_fb = jnp.linalg.solve(A_reg, B)

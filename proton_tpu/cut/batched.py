@@ -120,6 +120,10 @@ def _solve_one_geometry(mesh, dofmap, sys_f, radius, cx, cy, *,
     h1 = fictdom_h1_error_chunked(mesh2, geom, batch, cutdata, hdi,
                                   local, problem.sol_grad, side,
                                   chunk=chunk, cut_valid=valid)
+    # a geometry whose cut class overflowed the fixed capacity solved a
+    # WRONG system (overflowed cut cells keep the fitted operator with a
+    # zeroed rhs): poison its error so it can't be mistaken for a result
+    h1 = jnp.where(n_over > 0, jnp.nan, h1)
     return FamilyResult(h1, res.iterations, res.exit_reason,
                         res.rel_residual, n_cut, n_over, n_bad, concave)
 
@@ -154,14 +158,19 @@ def solve_fictdom_family(N: int, degree: int, radii, centers,
     eta = nitsche_eta(degree)
     mesh = make_poly_mesh(Nx=N, Ny=N)
     dofmap = assembly.build_dofmap(mesh, hdi)
-    sys_f = structured.make_structured_system(N, N, dofmap.fbs)
 
     one = functools.partial(_solve_one_geometry, hdi=hdi, eta=eta,
                             capacity=capacity, int_refsteps=int_refsteps,
                             chunk=chunk, cg_params=cg_params)
 
+    # mesh/dofmap are jit ARGUMENTS, not closure constants: big
+    # closed-over arrays are inlined into the compile request and break
+    # the axon remote compile (HTTP 413) at bench-scale N. sys_f is
+    # rebuilt inside (its Nx/Ny/fbs ints must stay static; the freeH/freeV
+    # masks are cheap iota arithmetic).
     @jax.jit
-    def run(radii, centers):
+    def run(mesh, dofmap, radii, centers):
+        sys_f = structured.make_structured_system(N, N, dofmap.fbs)
         fn = jax.vmap(lambda r, c: one(mesh, dofmap, sys_f, r, c[0], c[1]))
         if geom_chunk is None or geom_chunk >= B:
             return fn(radii, centers)
@@ -174,4 +183,4 @@ def solve_fictdom_family(N: int, degree: int, radii, centers,
             (rp.reshape(nb, geom_chunk), cp.reshape(nb, geom_chunk, 2)))
         return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:B], out)
 
-    return run(radii, centers)
+    return run(mesh, dofmap, radii, centers)

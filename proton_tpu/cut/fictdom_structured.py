@@ -312,17 +312,135 @@ def _cut64_condensed(batch32, hdi, problem, eta, with_rhs,
                        with_rhs=with_rhs, side=side)
 
 
+def _gather_cells(mesh, geom, ids):
+    """Sub-batch view of ``ids`` cells: mesh with gathered cell arrays
+    (points kept whole) + gathered geometry pytree."""
+    import dataclasses as _dc
+
+    ids = jnp.asarray(ids, dtype=jnp.int32)
+    sub = _dc.replace(mesh, cell_ptids=mesh.cell_ptids[ids],
+                      cell_npts=mesh.cell_npts[ids],
+                      cell_faces=mesh.cell_faces[ids])
+    gsub = jax.tree.map(lambda a: a[ids], geom)
+    return sub, gsub
+
+
+def _unit_cell_condensed(hdi: HHODegreeInfo, h: float, dtype):
+    """Condensed operator pieces of THE uniform cell: the generated mesh's
+    cells are congruent axis-aligned squares and the scaled-monomial bases
+    are translation-invariant ((p - bar)/(h/2), hho.hpp basis scaling), so
+    every uncut/undistorted cell shares ONE local operator. Computed on a
+    one-cell mesh with the production kernels (in f64 when the x64 config
+    allows — the broadcast then carries no per-cell f32 rounding scatter)
+    and cast. Returns (S_u [nfd, nfd], X_u = ATT^-1 ATF [cbs, nfd],
+    ATT_u, ATF_u) as dtype arrays."""
+    from ..core.mesh import make_quad_mesh
+
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    mesh1 = make_quad_mesh(Nx=1, Ny=1, min_x=0.0, max_x=h,
+                           min_y=0.0, max_y=h)
+    if jax.config.jax_enable_x64:
+        mesh1 = _cast64(mesh1)
+    geom1 = cell_geometry(mesh1)
+    _, lc = poisson.assemble_local(mesh1, geom1, hdi, "naive")
+    lc = lc[0]
+    ATT = lc[:cbs, :cbs]
+    ATF = lc[:cbs, cbs:]
+    ch = jnp.linalg.cholesky(ATT)
+    X = jax.scipy.linalg.cho_solve((ch, True), ATF)       # [cbs, nfd]
+    S = lc[cbs:, cbs:] - lc[cbs:, :cbs] @ X
+    return (S.astype(dtype), X.astype(dtype), ATT.astype(dtype),
+            ATF.astype(dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
+                                             "with_rhs", "side", "N"))
+def _assemble_level_uniform(mesh, geom, cutdata, batch, dist_ids,
+                            hdi: HHODegreeInfo, problem: FictdomProblem,
+                            eta: float, with_rhs: bool, N: int,
+                            side: int = LOC_NEG):
+    """O(N) fictdom assembly on the generated uniform mesh: ONE unit-cell
+    condensed operator broadcast over all cells, with exact per-cell
+    assembly spliced over (a) the ``dist_ids`` cells whose nodes the
+    bad-cut displacement moved (no longer congruent squares) and (b) the
+    cut-cell class (Nitsche kernels). Replaces the full-mesh
+    assemble+condense of _assemble_level_cl — the dominant per-level cost
+    of the MG hierarchy — by small-batch work; the fitted operator of a
+    translated cell is IDENTICAL by basis translation-invariance."""
+    dtype = mesh.points.dtype
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    C = mesh.num_cells
+    S_u, X_u, ATT_u, ATF_u = _unit_cell_condensed(hdi, 1.0 / N, dtype)
+    nfd = S_u.shape[0]
+
+    if with_rhs:
+        f_std = cell_rhs(mesh, geom, hdi.cell_degree, problem.rhs_fun)
+        f = jnp.where((cutdata.cell_loc == side)[:, None], f_std, 0.0)
+    else:
+        f = jnp.zeros((C, cbs), dtype)
+    fT = f.T                                          # [cbs, C]
+    bF = -(X_u.T @ fT)                                # [nfd, C]
+    cond = cells_last.CondensedCL(
+        jnp.broadcast_to(S_u.reshape(nfd * nfd, 1), (nfd * nfd, C)),
+        bF,
+        jnp.broadcast_to(ATT_u.reshape(cbs * cbs, 1), (cbs * cbs, C)),
+        jnp.broadcast_to(ATF_u.reshape(cbs * nfd, 1), (cbs * nfd, C)),
+        fT)
+
+    # displaced-node (distorted) cells: exact fitted assembly on the
+    # gathered batch
+    if dist_ids.shape[0] > 0:
+        sub, gsub = _gather_cells(mesh, geom, dist_ids)
+        _, lc_d = poisson.assemble_local(sub, gsub, hdi, "naive")
+        d = lc_d.shape[1]
+        sub_cond = cells_last.condense_cl(
+            jnp.transpose(lc_d, (1, 2, 0)).reshape(d * d, -1),
+            fT[:, dist_ids], cbs)
+        cond = cells_last.set_cells(cond, dist_ids, sub_cond)
+
+    # cut-cell class: Nitsche kernels + condensation on the gathered batch
+    _, data_cut = cut_methods.cut_hho_laplacian(batch, problem.ls, hdi,
+                                                side, eta=eta)
+    stab_cut = cut_methods.cut_stabilization(batch, hdi, side)
+    lc_cut = data_cut + stab_cut
+    d = lc_cut.shape[1]
+    if with_rhs:
+        f_cut = cut_methods.cut_rhs(batch, hdi.cell_degree,
+                                    problem.rhs_fun, problem.ls,
+                                    problem.sol_fun, side, eta=eta)
+    else:
+        f_cut = jnp.zeros((lc_cut.shape[0], cbs), dtype)
+    cut_cond = cells_last.condense_cl(
+        jnp.transpose(lc_cut, (1, 2, 0)).reshape(d * d, -1),
+        f_cut.T, cbs)
+    return cells_last.set_cells(cond, batch.ids, cut_cond)
+
+
 def build_level(N: int, hdi: HHODegreeInfo, problem: FictdomProblem,
                 eta: float, int_refsteps: int, mixed: bool,
-                use_pallas: bool, with_rhs: bool) -> LevelData:
-    """Classify + assemble + condense one level (cells-last)."""
+                use_pallas: bool, with_rhs: bool,
+                fitted: str = "full") -> LevelData:
+    """Classify + assemble + condense one level (cells-last).
+
+    ``fitted``: 'full' assembles every cell (Pallas or chunked XLA per
+    ``use_pallas``); 'uniform' broadcasts the unit-cell condensed
+    operator and assembles only the O(N) distorted + cut cells — the MG
+    coarse-hierarchy fast path (exact on the generated mesh up to basis
+    translation-invariance)."""
     mesh, cutdata, cut_ids = classify_level(N, problem, int_refsteps,
                                             mixed)
     geom = jax.jit(cell_geometry)(mesh)
     batch = jax.jit(cut_methods.make_cut_batch)(mesh, geom, cutdata,
                                                 cut_ids)
-    cond = _assemble_level_cl(mesh, geom, cutdata, batch, hdi, problem,
-                              eta, use_pallas, with_rhs)
+    if fitted == "uniform":
+        dist_ids = np.nonzero(np.asarray(cutdata.distorted))[0]
+        cond = _assemble_level_uniform(mesh, geom, cutdata, batch,
+                                       jnp.asarray(dist_ids,
+                                                   dtype=jnp.int32),
+                                       hdi, problem, eta, with_rhs, N)
+    else:
+        cond = _assemble_level_cl(mesh, geom, cutdata, batch, hdi,
+                                  problem, eta, use_pallas, with_rhs)
     if mixed:
         sub = _cut64_condensed(batch, hdi, problem, eta, with_rhs)
         cond = cells_last.set_cells(cond, cut_ids, sub)
