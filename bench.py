@@ -106,29 +106,28 @@ def main():
     jax.block_until_ready(jnp.ones((256, 256)) @ jnp.ones((256, 256)))
     t_warmup = time.perf_counter() - t0
 
-    # ---------------- setup: classification + dofmap ---------------------
-    # classification always runs f32 on TPU (classify_level docstring);
-    # the f64 accurate mode upcasts the classified geometry (points are
-    # layout-benign; the big cut tables stay f32 and only the gathered
-    # cut batch is ever upcast)
+    # ---------------- setup: host classification + transfer ---------------
+    # the band classification (cut_preprocess_band) runs on the CPU host:
+    # O(N) interface-band work, no remote TPU programs; only the mesh
+    # topology, cell_loc and the gathered O(N) cut batch ship to the chip
     t0 = time.perf_counter()
-    mesh, cutdata, cut_ids = fs.classify_level(
-        N, problem, int_refsteps=4, mixed=_MIXED)
+    mesh, cutdata, cut_ids, cell_loc, batch, dist_ids = fs._classify_host(
+        N, hdi, problem, 4, _MIXED)
     geom = jax.jit(cell_geometry)(mesh)
-    batch = jax.jit(cut_methods.make_cut_batch)(mesh, geom, cutdata,
-                                                cut_ids)
     dofmap = assembly.build_dofmap(mesh, hdi)
     jax.block_until_ready(geom.bar)
     t_setup = time.perf_counter() - t0
 
     # ---------------- fine-level assembly + condensation ------------------
+    # the headline metric: full per-cell local assembly + condensation
+    # (the Pallas fused kernel on TPU) at bench dtype
     def assemble_fine():
         if _PRECISION == "f64":
             # f64 arithmetic in bounded cell blocks from the f32 geometry
-            return fs._assemble_level_cl_f64(mesh, geom, cutdata, batch,
+            return fs._assemble_level_cl_f64(mesh, geom, cell_loc, batch,
                                              hdi, problem, eta,
                                              with_rhs=True)
-        cond = fs._assemble_level_cl(mesh, geom, cutdata, batch, hdi,
+        cond = fs._assemble_level_cl(mesh, geom, cell_loc, batch, hdi,
                                      problem, eta, use_pallas,
                                      with_rhs=True)
         if _MIXED:
@@ -146,6 +145,32 @@ def main():
     C = mesh.num_cells
     elements_per_sec = C / t_assembly
 
+    # ---------------- solved system: uniform split ------------------------
+    # the system the CG runs on is the UNIFORM broadcast + exact splices
+    # (identical discretization; the broadcast carries no per-cell f32
+    # rounding scatter, and the matvec becomes a compile-time-constant
+    # stencil + O(N) correction). f64 accurate mode keeps the chunked
+    # f64 per-cell system.
+    uniform_solve = _PRECISION != "f64" and \
+        os.environ.get("PROTON_BENCH_UNIFORM", "1") == "1"
+    levels = {}
+    if uniform_solve:
+        unit_host = fs._unit_cell_host(hdi, 1.0 / N)
+        unit = tuple(jnp.asarray(a, cond.S.dtype) for a in unit_host)
+        cond = fs._assemble_level_uniform(
+            mesh, geom, cell_loc, batch,
+            jnp.asarray(dist_ids, dtype=jnp.int32), unit, hdi, problem,
+            eta, with_rhs=True)
+        if _MIXED:
+            sub = fs._cut64_condensed(batch, hdi, problem, eta,
+                                      with_rhs=True)
+            cond = cells_last.set_cells(cond, cut_ids, sub)
+        jax.block_until_ready(cond.S)
+        levels[N] = fs.LevelData(
+            mesh, None, cut_ids, cond,
+            np.asarray(unit_host[0], np.float64),
+            np.union1d(dist_ids, np.asarray(cut_ids)), batch, cell_loc)
+
     # ---------------- MG hierarchy (rediscretized coarse levels) ----------
     t0 = time.perf_counter()
     S_levels, cut_levels = {N: cond.S}, {N: cut_ids}
@@ -156,7 +181,8 @@ def main():
             lev = fs.build_level(n, hdi, problem, eta, int_refsteps=4,
                                  mixed=_MIXED and k >= 2,
                                  use_pallas=use_pallas,
-                                 with_rhs=False)
+                                 with_rhs=False, fitted="uniform")
+            levels[n] = lev
             S_levels[n] = lev.cond.S.astype(cond.S.dtype)
             cut_levels[n] = lev.cut_ids
         jax.block_until_ready(S_levels[min(S_levels)])
@@ -173,6 +199,7 @@ def main():
     kw = dict(sizes=sizes, hdi=hdi, problem=problem, precond=precond,
               cut_levels=cut_static, mg_coarsest=8,
               n_smooth=n_smooth, cheb_degree=cheb_degree,
+              uniform_levels=fs.uniform_static(levels),
               cg_f64=cg_f64, mg_f32=_PRECISION == "f64")
 
     def solve():
@@ -195,7 +222,7 @@ def main():
     t_h1 = 0.0
     if want_h1:
         t0 = time.perf_counter()
-        h1 = fs.fictdom_h1_error_chunked(mesh, geom, batch, cutdata, hdi,
+        h1 = fs.fictdom_h1_error_chunked(mesh, geom, batch, cell_loc, hdi,
                                          local, problem.sol_grad)
         h1 = float(jax.block_until_ready(h1))
         t_h1 = time.perf_counter() - t0

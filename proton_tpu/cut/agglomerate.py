@@ -63,22 +63,28 @@ def _side_measures(mesh, phi):
     return neg, pos, loc, node_loc, fcuts, ccuts
 
 
-def _face_neighbors(mesh):
-    """[C] list of face-sharing neighbor lists (via the incidence
-    transpose)."""
+def _face_neighbor_table(mesh):
+    """[C, Pmax] face-sharing neighbor ids (-1 where boundary), fully
+    vectorized via the face-cells incidence transpose (the reference
+    builds the point-sharing variant in an O(C^2) scan,
+    cuthho_geom.hpp:343-380; this is the O(C) SoA form the merge
+    step needs)."""
     from ..methods.assembly import build_face_incidence, build_dofmap
     from ..core.ops import HHODegreeInfo
 
     dm = build_dofmap(mesh, HHODegreeInfo(0, 0))
     inc = build_face_incidence(mesh, dm)
-    fc = np.asarray(inc.face_cells)
+    fc = np.asarray(inc.face_cells)            # [F, 2], sentinel C
+    cf = np.asarray(mesh.cell_faces)           # [C, Pmax]
     C = mesh.num_cells
-    nbrs = [[] for _ in range(C)]
-    for a, b in fc:
-        if a < C and b < C:
-            nbrs[a].append(b)
-            nbrs[b].append(a)
-    return nbrs
+    pair = fc[cf]                              # [C, Pmax, 2]
+    cid = np.arange(C)[:, None]
+    other = np.where(pair[..., 0] == cid, pair[..., 1], pair[..., 0])
+    other = np.where(other >= C, -1, other).astype(np.int64)
+    # mask padding slots (they repeat a real face -> duplicate entries)
+    valid = np.arange(cf.shape[1])[None, :] < \
+        np.asarray(mesh.cell_npts)[:, None]
+    return np.where(valid, other, -1)
 
 
 class _UnionFind:
@@ -143,36 +149,48 @@ def _merge_round(mesh, phi, use_reference_classifier: bool):
     if not ko.any():
         return mesh, 0
 
-    nbrs = _face_neighbors(mesh)
-    uf = _UnionFind(C)
-    for c in np.nonzero(ko)[0]:
-        deficient = neg if agglo[c] == AGGLO_KO_NEG else pos
-        best, best_m = -1, -1.0
-        for n in nbrs[c]:
-            if agglo[n] == agglo[c]:
-                continue  # same-side-deficient partner doesn't help
-            if deficient[n] > best_m:
-                best, best_m = n, deficient[n]
-        if best < 0:
-            best = max(nbrs[c], key=lambda n: deficient[n])
-        uf.union(c, best)
+    # neighbor choice, vectorized over the O(N) KO set
+    nbr_tab = _face_neighbor_table(mesh)
+    ko_ids = np.nonzero(ko)[0]
+    cand = nbr_tab[ko_ids]                                # [K, Pmax]
+    deficient = np.where((agglo[ko_ids] == AGGLO_KO_NEG)[:, None],
+                         neg[np.maximum(cand, 0)],
+                         pos[np.maximum(cand, 0)])
+    same = agglo[np.maximum(cand, 0)] == agglo[ko_ids][:, None]
+    score = np.where((cand < 0), -np.inf,
+                     np.where(same, -np.inf, deficient))
+    best = cand[np.arange(len(ko_ids)), np.argmax(score, axis=1)]
+    # all partners same-side-deficient: fall back to the largest anyway
+    none = ~np.isfinite(np.max(score, axis=1))
+    if none.any():
+        score2 = np.where(cand[none] < 0, -np.inf, deficient[none])
+        best[none] = cand[none][np.arange(none.sum()),
+                                np.argmax(score2, axis=1)]
 
+    # union-find over the INVOLVED cells only (groups are tiny; the
+    # other C - O(N) cells pass through untouched)
+    involved = np.unique(np.concatenate([ko_ids, best]))
+    uf = _UnionFind(len(involved))
+    lookup = {int(c): i for i, c in enumerate(involved)}
+    for c, b in zip(ko_ids, best):
+        uf.union(lookup[int(c)], lookup[int(b)])
     groups = {}
-    for c in range(C):
-        r = uf.find(c)
-        groups.setdefault(r, []).append(c)
+    for i, c in enumerate(involved):
+        groups.setdefault(uf.find(i), []).append(int(c))
+    groups = [g for g in groups.values() if len(g) > 1]
+    grouped = np.zeros(C, dtype=bool)
+    for g in groups:
+        grouped[g] = True
 
     cp = np.asarray(mesh.cell_ptids)
     npts = np.asarray(mesh.cell_npts)
     points = np.asarray(mesh.points)
 
-    new_cells = []
+    # untouched cells keep their (already padded) point rows
+    keep_ids = np.nonzero(~grouped)[0]
+    new_cells = []                      # merged polygons only (small)
     merged = 0
-    for members in groups.values():
-        if len(members) == 1:
-            c = members[0]
-            new_cells.append(list(cp[c, :npts[c]]))
-            continue
+    for members in groups:
         merged += 1
         edge_count = {}
         for c in members:
@@ -192,27 +210,45 @@ def _merge_round(mesh, phi, use_reference_classifier: bool):
         new_cells.append(loop)
 
     # rebuild the mesh; boundary codes inherited from the old face table
-    old_bnd = {}
-    fp = np.asarray(mesh.face_ptids)
+    # (vectorized key lookup: sorted edge keys + searchsorted)
+    fp = np.asarray(mesh.face_ptids).astype(np.int64)
     fb = np.asarray(mesh.face_bnd)
-    for (a, b), code in zip(fp, fb):
-        old_bnd[(int(a), int(b))] = int(code)
+    P = mesh.num_points
+    old_keys = fp[:, 0] * P + fp[:, 1]
+    korder = np.argsort(old_keys)
+    old_keys_s = old_keys[korder]
+    old_bnd_s = fb[korder]
 
-    new_cells.sort()
-    n_new = len(new_cells)
-    Pmax = max(len(c) for c in new_cells)
+    # combine untouched rows (vectorized) + merged polygons (small),
+    # pad, and lexsort into the reference's sorted generation order
+    m_npts = np.fromiter((len(c) for c in new_cells), np.int64,
+                         count=len(new_cells))
+    Pmax = int(max(cp.shape[1], m_npts.max() if len(m_npts) else 0))
+    n_new = len(keep_ids) + len(new_cells)
     cell_ptids = np.zeros((n_new, Pmax), dtype=np.int64)
-    cell_npts = np.array([len(c) for c in new_cells], dtype=np.int64)
+    cell_npts = np.concatenate([npts[keep_ids], m_npts])
+    cell_ptids[:len(keep_ids), :cp.shape[1]] = cp[keep_ids]
     for i, c in enumerate(new_cells):
-        cell_ptids[i, :len(c)] = c
-        cell_ptids[i, len(c):] = c[-1]
+        cell_ptids[len(keep_ids) + i, :len(c)] = c
+    last = cell_ptids[np.arange(n_new), cell_npts - 1]
+    pad = np.arange(Pmax)[None, :] >= cell_npts[:, None]
+    cell_ptids = np.where(pad, last[:, None], cell_ptids)
+    # sort rows lexicographically by (padded-with--1) point lists
+    sort_key = np.where(np.arange(Pmax)[None, :] < cell_npts[:, None],
+                        cell_ptids, -1)
+    order = np.lexsort(sort_key.T[::-1])
+    cell_ptids = cell_ptids[order]
+    cell_npts = cell_npts[order]
 
     def raw_bnd(lo, hi, valid):
-        out = np.zeros_like(lo)
-        for idx in np.ndindex(lo.shape):
-            if valid[idx]:
-                out[idx] = old_bnd.get((int(lo[idx]), int(hi[idx])), 0)
-        return out
+        lo64 = lo.astype(np.int64)
+        hi64 = hi.astype(np.int64)
+        keys = lo64 * P + hi64
+        pos = np.searchsorted(old_keys_s, keys)
+        pos = np.minimum(pos, len(old_keys_s) - 1)
+        hit = old_keys_s[pos] == keys
+        out = np.where(valid & hit, old_bnd_s[pos], 0)
+        return out.astype(fb.dtype)
 
     new_mesh = _build_topology(points, cell_ptids, cell_npts, raw_bnd,
                                "poly")

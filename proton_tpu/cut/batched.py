@@ -117,7 +117,8 @@ def _solve_one_geometry(mesh, dofmap, sys_f, radius, cx, cy, *,
     local, res = structured.solve_condensed_structured(
         sys_f, lc, f, dofmap.cbs, g_loc, cg_params)
 
-    h1 = fictdom_h1_error_chunked(mesh2, geom, batch, cutdata, hdi,
+    h1 = fictdom_h1_error_chunked(mesh2, geom, batch,
+                                  cutdata.cell_loc, hdi,
                                   local, problem.sol_grad, side,
                                   chunk=chunk, cut_valid=valid)
     # a geometry whose cut class overflowed the fixed capacity solved a

@@ -220,28 +220,40 @@ def detect_cell_agglo_set(mesh, phi, fc: FaceCuts, node_loc, cell_loc):
 
 def make_neighbors_info(mesh, max_neighbors: int = 8):
     """Point-sharing cell neighbor lists [C, max_neighbors], -1 padded
-    (make_neighbors_info, cuthho_geom.hpp:343-380 — but via a point->cell
-    incidence map instead of the reference's O(C^2) pair scan)."""
+    (make_neighbors_info, cuthho_geom.hpp:343-380 — but via a vectorized
+    point->cell incidence transpose instead of the reference's O(C^2)
+    pair scan; no per-cell host loop, so it runs at 1024^2+)."""
     import numpy as np
 
     cp = np.asarray(mesh.cell_ptids)
     npts = np.asarray(mesh.cell_npts)
-    C = mesh.num_cells
-    pt2cells = {}
-    for c in range(C):
-        for p in cp[c, :npts[c]]:
-            pt2cells.setdefault(int(p), []).append(c)
-    nbrs = [set() for _ in range(C)]
-    for cells in pt2cells.values():
-        for a in cells:
-            for b in cells:
-                if a != b:
-                    nbrs[a].add(b)
-    out = -np.ones((C, max_neighbors), dtype=np.int32)
-    for c, s in enumerate(nbrs):
-        lst = sorted(s)[:max_neighbors]
-        out[c, :len(lst)] = lst
-    return jnp.asarray(out)
+    C, Pmax = cp.shape
+    valid = np.arange(Pmax)[None, :] < npts[:, None]
+    p_flat = cp[valid].astype(np.int64)
+    c_flat = np.broadcast_to(np.arange(C)[:, None], (C, Pmax))[valid]
+
+    # point -> cells padded table [P, M] via grouped ranks
+    order = np.argsort(p_flat, kind="stable")
+    ps, cs = p_flat[order], c_flat[order]
+    first = np.concatenate([[True], ps[1:] != ps[:-1]])
+    gstart = np.maximum.accumulate(np.where(first, np.arange(len(ps)), 0))
+    rank = np.arange(len(ps)) - gstart
+    M = int(rank.max()) + 1 if len(ps) else 1
+    P = mesh.num_points
+    p2c = -np.ones((P, M), dtype=np.int64)
+    p2c[ps, rank] = cs
+
+    # candidates per cell: cells of each of its points
+    cand = p2c[cp].reshape(C, Pmax * M)          # padding dups are fine
+    cand = np.where(cand == np.arange(C)[:, None], -1, cand)  # drop self
+    cand.sort(axis=1)                             # -1s first
+    dup = np.concatenate([np.zeros((C, 1), bool),
+                          cand[:, 1:] == cand[:, :-1]], axis=1)
+    cand = np.where(dup | (cand < 0), np.iinfo(np.int64).max, cand)
+    cand.sort(axis=1)                             # uniques first, asc
+    out = cand[:, :max_neighbors]
+    out = np.where(out == np.iinfo(np.int64).max, -1, out)
+    return jnp.asarray(out.astype(np.int32))
 
 
 class MoveNodesResult(NamedTuple):
@@ -383,6 +395,134 @@ def _preprocess_core(mesh, phi, levels: int, agglomeration: bool,
         distorted=distorted,
     )
     return mesh.points, cutdata, concave_any, n_bad
+
+
+def band_cell_ids(mesh, phi):
+    """Host ids of the interface BAND: every cell touching a node of a
+    sign-change face (the 1-ring of the cut cells). Everything the full
+    preprocessing pipeline computes differs from the trivial corner-sign
+    classification ONLY inside this band:
+
+    - a face can be LOC_CUT only if its endpoint phis differ in
+      sign-class (detect_cut_faces, cuthho_geom.hpp:132-161);
+    - move_nodes displaces only endpoints of LOC_CUT faces
+      (cuthho_geom.hpp:466-543), so displaced nodes — and hence
+      distorted cells, re-detected faces and post-displacement cut
+      cells — all touch a sign-change face's endpoint;
+    - the displacement pushes the node AWAY from the interface (toward
+      the face midpoint), and even if the moved phi changes sign, the
+      affected cells still touch the moved node, i.e. stay in the band.
+
+    Returns (band_ids [B], lnode [P] numpy phi values at the original
+    points)."""
+    import numpy as np
+
+    lnode = np.asarray(phi(mesh.points))
+    neg = lnode < 0
+    fp = np.asarray(mesh.face_ptids)
+    fcut = neg[fp[:, 0]] != neg[fp[:, 1]]
+    marked = np.zeros(mesh.num_points, dtype=bool)
+    marked[fp[fcut].ravel()] = True
+    cp = np.asarray(mesh.cell_ptids)
+    band = marked[cp].any(axis=1)
+    return np.nonzero(band)[0], lnode
+
+
+def cut_preprocess_band(mesh, phi, levels: int = 4):
+    """Band-restricted cut_preprocess (displacement path): identical
+    output contract, with the per-face bisections, node displacement,
+    cell classification and interface refinement computed only on the
+    O(N) interface band (band_cell_ids) instead of all O(N^2) cells.
+    The full-mesh arrays are reconstructed by scattering the band
+    results over the trivial corner-sign classification — exact, because
+    outside the band no node moves and no face/cell can be cut.
+
+    This is what makes classification O(band) at 1024^2..4096^2 — the
+    full pipeline's 30-iteration bisection over every face is the
+    single most expensive setup stage at scale."""
+    import numpy as np
+
+    band_ids, lnode = band_cell_ids(mesh, phi)
+    cp = np.asarray(mesh.cell_ptids)
+    fp = np.asarray(mesh.face_ptids)
+    cf = np.asarray(mesh.cell_faces)
+    C, F, P = mesh.num_cells, mesh.num_faces, mesh.num_points
+    R = 2 ** max(levels, 1) if levels else 1
+
+    if len(band_ids) == 0:
+        # no sign change anywhere: trivial classification
+        both_pos = (lnode[fp[:, 0]] >= 0) & (lnode[fp[:, 1]] >= 0)
+        all_pos = (lnode[cp] > 0).all(axis=1)
+        cutdata = CutData(
+            node_loc=jnp.asarray(
+                np.where(lnode < 0, LOC_NEG, LOC_POS).astype(np.int8)),
+            face_loc=jnp.asarray(
+                np.where(both_pos, LOC_POS, LOC_NEG).astype(np.int8)),
+            face_isect=jnp.zeros((F, 2), mesh.points.dtype),
+            face_node_inside=jnp.asarray(
+                np.where(lnode[fp[:, 0]] < 0, 0, 1).astype(np.int8)),
+            cell_loc=jnp.asarray(
+                np.where(all_pos, LOC_POS, LOC_NEG).astype(np.int8)),
+            interface=jnp.zeros((C, R + 1, 2), mesh.points.dtype),
+            agglo_set=jnp.full((C,), AGGLO_UNDEF, dtype=jnp.int8),
+            distorted=jnp.zeros((C,), dtype=bool),
+        )
+        return mesh, cutdata
+
+    # compacted face list of the band sub-mesh
+    sub_cf_g = cf[band_ids]
+    fsub, inv = np.unique(sub_cf_g, return_inverse=True)
+    sub = dataclasses.replace(
+        mesh,
+        cell_ptids=jnp.asarray(cp[band_ids]),
+        cell_npts=mesh.cell_npts[jnp.asarray(band_ids)],
+        cell_faces=jnp.asarray(
+            inv.reshape(sub_cf_g.shape).astype(np.int32)),
+        face_ptids=jnp.asarray(fp[fsub].astype(np.int32)),
+        face_bnd=mesh.face_bnd[jnp.asarray(fsub)],
+    )
+    core = jax.jit(partial(_preprocess_core, phi=phi, levels=levels,
+                           agglomeration=False, displacement=True))
+    points2, sub_cut, concave_any, n_bad = core(sub)
+    if bool(concave_any):
+        raise RuntimeError("concave poly generated by node displacement")
+    if int(n_bad) != 0:
+        raise RuntimeError(
+            f"invalid number of cuts in {int(n_bad)} cell(s)")
+
+    # ---- scatter band results over the trivial classification ----
+    dtype = np.asarray(mesh.points).dtype
+    # faces outside the band sub-list: endpoints unmoved, same
+    # sign-class -> POS iff both >= 0 (detect_cut_faces rule)
+    both_pos = (lnode[fp[:, 0]] >= 0) & (lnode[fp[:, 1]] >= 0)
+    face_loc = np.where(both_pos, LOC_POS, LOC_NEG).astype(np.int8)
+    face_loc[fsub] = np.asarray(sub_cut.face_loc)
+    face_isect = np.zeros((F, 2), dtype=dtype)
+    face_isect[fsub] = np.asarray(sub_cut.face_isect)
+    face_node_inside = np.where(lnode[fp[:, 0]] < 0, 0, 1).astype(np.int8)
+    face_node_inside[fsub] = np.asarray(sub_cut.face_node_inside)
+
+    # cells outside the band: POS iff all corners strictly positive
+    # (detect_cut_cells' all_pos rule, cuthho_geom.hpp:301-309)
+    all_pos = (lnode[cp] > 0).all(axis=1)
+    cell_loc = np.where(all_pos, LOC_POS, LOC_NEG).astype(np.int8)
+    cell_loc[band_ids] = np.asarray(sub_cut.cell_loc)
+    interface = np.zeros((C, R + 1, 2), dtype=dtype)
+    interface[band_ids] = np.asarray(sub_cut.interface)
+    distorted = np.zeros((C,), dtype=bool)
+    distorted[band_ids] = np.asarray(sub_cut.distorted)
+
+    cutdata = CutData(
+        node_loc=sub_cut.node_loc,
+        face_loc=jnp.asarray(face_loc),
+        face_isect=jnp.asarray(face_isect),
+        face_node_inside=jnp.asarray(face_node_inside),
+        cell_loc=jnp.asarray(cell_loc),
+        interface=jnp.asarray(interface),
+        agglo_set=jnp.full((C,), AGGLO_UNDEF, dtype=jnp.int8),
+        distorted=jnp.asarray(distorted),
+    )
+    return mesh.with_points(points2), cutdata
 
 
 def cut_preprocess(mesh, phi, levels: int = 4, agglomeration: bool = False,

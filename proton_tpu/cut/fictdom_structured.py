@@ -53,7 +53,8 @@ from ..methods import assembly, cells_last, condensation, pallas_assembly, \
     poisson, structured
 from ..solvers import cg, multigrid
 from . import methods as cut_methods
-from .classify import LOC_CUT, LOC_NEG, cut_preprocess
+from .classify import LOC_CUT, LOC_NEG, cut_preprocess, \
+    cut_preprocess_band
 from .levelset import LevelSet, circle_level_set
 from .quadrature import side_cell_rule
 
@@ -103,12 +104,24 @@ def default_problem(radius: float = 0.35,
 
 
 class LevelData(NamedTuple):
-    """Classified + assembled data of one mesh level."""
+    """Classified + assembled data of one mesh level. ``S_u``/``irr_ids``
+    (uniform fitted mode only) carry the constant-stencil decomposition:
+    the [nfd, nfd] unit-cell condensed block (host f64 numpy) and the
+    irregular (cut + displaced) cell ids where cond.S deviates from its
+    broadcast.
+
+    ``mesh``/``cell_loc``/``batch``/``cond`` live on the ASSEMBLY device
+    (the default backend); ``cutdata`` stays wherever classification ran
+    (the CPU host on TPU backends — its big tables are never shipped)."""
 
     mesh: object
     cutdata: object
     cut_ids: np.ndarray
     cond: cells_last.CondensedCL
+    S_u: Optional[np.ndarray] = None
+    irr_ids: Optional[np.ndarray] = None
+    batch: object = None          # CutCellBatch on the assembly device
+    cell_loc: object = None       # [C] on the assembly device
 
 
 class StructuredFictdomResult(NamedTuple):
@@ -134,7 +147,8 @@ def _cast64(tree):
 
 def classify_level(N: int, problem: FictdomProblem, int_refsteps: int,
                    mixed: bool = False,
-                   classify_f32: Optional[bool] = None):
+                   classify_f32: Optional[bool] = None,
+                   method: str = "band"):
     """Mesh + level-set classification of one level.
 
     ``classify_f32`` (default: True on the TPU backend) runs the
@@ -151,7 +165,11 @@ def classify_level(N: int, problem: FictdomProblem, int_refsteps: int,
     keeping the f64 accuracy gates bit-exact.
 
     ``mixed`` only validates that the x64 config is available (the f32
-    pipeline copy is returned either way)."""
+    pipeline copy is returned either way).
+
+    ``method``: 'band' (default) runs the O(band) pipeline
+    (cut_preprocess_band — exact, tested identical); 'full' runs the
+    all-cells pipeline."""
     if classify_f32 is None:
         classify_f32 = jax.default_backend() == "tpu"
     if mixed and not jax.config.jax_enable_x64:
@@ -160,8 +178,9 @@ def classify_level(N: int, problem: FictdomProblem, int_refsteps: int,
     mesh = make_poly_mesh(Nx=N, Ny=N)
     if classify_f32:
         mesh = _cast32(mesh)
-    mesh_c, cutdata_c = cut_preprocess(mesh, problem.ls,
-                                       levels=int_refsteps)
+    pre = (cut_preprocess_band if method == "band" else
+           functools.partial(cut_preprocess))
+    mesh_c, cutdata_c = pre(mesh, problem.ls, levels=int_refsteps)
     if mixed or classify_f32:
         # the f32 pipeline copy (mixed = f32 system + f64 cut splice)
         mesh_f, cutdata = _cast32(mesh_c), _cast32(cutdata_c)
@@ -174,7 +193,7 @@ def classify_level(N: int, problem: FictdomProblem, int_refsteps: int,
 @functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
                                              "use_pallas", "with_rhs",
                                              "side"))
-def _assemble_level_cl(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
+def _assemble_level_cl(mesh, geom, cell_loc, batch, hdi: HHODegreeInfo,
                        problem: FictdomProblem, eta: float,
                        use_pallas: bool, with_rhs: bool,
                        side: int = LOC_NEG):
@@ -202,7 +221,7 @@ def _assemble_level_cl(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
     cbs = bases.cell_basis_size(hdi.cell_degree)
     if with_rhs:
         f_std = cell_rhs(mesh, geom, hdi.cell_degree, problem.rhs_fun)
-        f = jnp.where((cutdata.cell_loc == side)[:, None], f_std, 0.0)
+        f = jnp.where((cell_loc == side)[:, None], f_std, 0.0)
         f_cut = cut_methods.cut_rhs(batch, hdi.cell_degree,
                                     problem.rhs_fun, problem.ls,
                                     problem.sol_fun, side, eta=eta)
@@ -215,7 +234,7 @@ def _assemble_level_cl(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
 @functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
                                              "with_rhs", "side",
                                              "chunk"))
-def _assemble_level_cl_f64(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
+def _assemble_level_cl_f64(mesh, geom, cell_loc, batch, hdi: HHODegreeInfo,
                            problem: FictdomProblem, eta: float,
                            with_rhs: bool, side: int = LOC_NEG,
                            chunk: int = 16384):
@@ -246,7 +265,7 @@ def _assemble_level_cl_f64(mesh, geom, cutdata, batch, hdi: HHODegreeInfo,
     blocks = (pad(mesh.cell_ptids).reshape(nb, bs, -1),
               pad(mesh.cell_npts).reshape(nb, bs),
               pad(mesh.cell_faces).reshape(nb, bs, -1),
-              pad(cutdata.cell_loc == side).reshape(nb, bs))
+              pad(cell_loc == side).reshape(nb, bs))
 
     def body(xs):
         cp, cn, cf, on_side = xs
@@ -353,11 +372,31 @@ def _unit_cell_condensed(hdi: HHODegreeInfo, h: float, dtype):
             ATF.astype(dtype))
 
 
+@functools.lru_cache(maxsize=None)
+def _unit_cell_host(hdi: HHODegreeInfo, h: float):
+    """Host copy of _unit_cell_condensed on the CPU backend, f64 when
+    obtainable (enable_x64 scope on a non-x64 config). Cached; the same
+    arrays feed BOTH the broadcast assembly and the static stencil of
+    the split operator, so they agree bit-exactly."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if jax.config.jax_enable_x64:
+            out = _unit_cell_condensed(hdi, h, jnp.float64)
+        else:
+            try:
+                from jax.experimental import enable_x64
+                with enable_x64():
+                    out = _unit_cell_condensed(hdi, h, jnp.float64)
+            except Exception:
+                out = _unit_cell_condensed(hdi, h, jnp.float32)
+    return tuple(np.asarray(a, np.float64) for a in out)
+
+
 @functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
-                                             "with_rhs", "side", "N"))
-def _assemble_level_uniform(mesh, geom, cutdata, batch, dist_ids,
+                                             "with_rhs", "side"))
+def _assemble_level_uniform(mesh, geom, cell_loc, batch, dist_ids, unit,
                             hdi: HHODegreeInfo, problem: FictdomProblem,
-                            eta: float, with_rhs: bool, N: int,
+                            eta: float, with_rhs: bool,
                             side: int = LOC_NEG):
     """O(N) fictdom assembly on the generated uniform mesh: ONE unit-cell
     condensed operator broadcast over all cells, with exact per-cell
@@ -366,16 +405,20 @@ def _assemble_level_uniform(mesh, geom, cutdata, batch, dist_ids,
     cut-cell class (Nitsche kernels). Replaces the full-mesh
     assemble+condense of _assemble_level_cl — the dominant per-level cost
     of the MG hierarchy — by small-batch work; the fitted operator of a
-    translated cell is IDENTICAL by basis translation-invariance."""
+    translated cell is IDENTICAL by basis translation-invariance.
+
+    ``unit``: (S_u, X_u, ATT_u, ATF_u) from _unit_cell_host, already cast
+    to the working dtype (passed as arrays so the broadcast agrees
+    bit-exactly with the static stencil of the split operator)."""
     dtype = mesh.points.dtype
     cbs = bases.cell_basis_size(hdi.cell_degree)
     C = mesh.num_cells
-    S_u, X_u, ATT_u, ATF_u = _unit_cell_condensed(hdi, 1.0 / N, dtype)
+    S_u, X_u, ATT_u, ATF_u = unit
     nfd = S_u.shape[0]
 
     if with_rhs:
         f_std = cell_rhs(mesh, geom, hdi.cell_degree, problem.rhs_fun)
-        f = jnp.where((cutdata.cell_loc == side)[:, None], f_std, 0.0)
+        f = jnp.where((cell_loc == side)[:, None], f_std, 0.0)
     else:
         f = jnp.zeros((C, cbs), dtype)
     fT = f.T                                          # [cbs, C]
@@ -416,35 +459,90 @@ def _assemble_level_uniform(mesh, geom, cutdata, batch, dist_ids,
     return cells_last.set_cells(cond, batch.ids, cut_cond)
 
 
+def _classify_host(N: int, hdi, problem, int_refsteps: int, mixed: bool):
+    """Classification phase on the CPU HOST (band pipeline): returns the
+    host cutdata plus the small device-bound pieces. On TPU backends this
+    removes every remote classification compile AND the full-mesh cut
+    tables from the device: only the mesh topology, cell_loc and the
+    gathered O(N) cut batch are shipped."""
+    on_host = jax.default_backend() != "cpu"
+    # decide the classification dtype from the REAL default backend (the
+    # f32-pipeline contract, classify_level docstring), not the host ctx
+    classify_f32 = jax.default_backend() == "tpu"
+    if on_host:
+        cpu = jax.devices("cpu")[0]
+        ctx = jax.default_device(cpu)
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        mesh, cutdata, cut_ids = classify_level(N, problem, int_refsteps,
+                                                mixed,
+                                                classify_f32=classify_f32)
+        geom_h = jax.jit(cell_geometry)(mesh)
+        batch = jax.jit(cut_methods.make_cut_batch)(mesh, geom_h,
+                                                    cutdata, cut_ids)
+    dist_ids = np.nonzero(np.asarray(cutdata.distorted))[0]
+    if on_host:
+        dev = jax.devices()[0]
+        mesh = jax.device_put(mesh, dev)
+        batch = jax.device_put(batch, dev)
+        cell_loc = jax.device_put(cutdata.cell_loc, dev)
+    else:
+        cell_loc = cutdata.cell_loc
+    return mesh, cutdata, cut_ids, cell_loc, batch, dist_ids
+
+
 def build_level(N: int, hdi: HHODegreeInfo, problem: FictdomProblem,
                 eta: float, int_refsteps: int, mixed: bool,
                 use_pallas: bool, with_rhs: bool,
-                fitted: str = "full") -> LevelData:
+                fitted: str = "full",
+                assemble_on: str = "default") -> LevelData:
     """Classify + assemble + condense one level (cells-last).
+    Classification always runs on the CPU host (_classify_host).
 
     ``fitted``: 'full' assembles every cell (Pallas or chunked XLA per
     ``use_pallas``); 'uniform' broadcasts the unit-cell condensed
     operator and assembles only the O(N) distorted + cut cells — the MG
     coarse-hierarchy fast path (exact on the generated mesh up to basis
-    translation-invariance)."""
-    mesh, cutdata, cut_ids = classify_level(N, problem, int_refsteps,
-                                            mixed)
+    translation-invariance).
+
+    ``assemble_on``: 'default' assembles on the default backend; 'cpu'
+    assembles on the host and ships only the condensed planes — the MG
+    coarse levels use this so no per-size device program exists."""
+    if assemble_on == "cpu" and jax.default_backend() != "cpu":
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            lev = build_level(N, hdi, problem, eta, int_refsteps, mixed,
+                              use_pallas=False, with_rhs=with_rhs,
+                              fitted=fitted)
+        dev = jax.devices()[0]
+        return lev._replace(cond=jax.device_put(lev.cond, dev),
+                            batch=jax.device_put(lev.batch, dev),
+                            cell_loc=jax.device_put(lev.cell_loc, dev))
+
+    mesh, cutdata, cut_ids, cell_loc, batch, dist_ids = _classify_host(
+        N, hdi, problem, int_refsteps, mixed)
     geom = jax.jit(cell_geometry)(mesh)
-    batch = jax.jit(cut_methods.make_cut_batch)(mesh, geom, cutdata,
-                                                cut_ids)
+    S_u = irr_ids = None
     if fitted == "uniform":
-        dist_ids = np.nonzero(np.asarray(cutdata.distorted))[0]
-        cond = _assemble_level_uniform(mesh, geom, cutdata, batch,
+        dtype = mesh.points.dtype
+        unit_host = _unit_cell_host(hdi, 1.0 / N)
+        unit = tuple(jnp.asarray(a, dtype) for a in unit_host)
+        cond = _assemble_level_uniform(mesh, geom, cell_loc, batch,
                                        jnp.asarray(dist_ids,
                                                    dtype=jnp.int32),
-                                       hdi, problem, eta, with_rhs, N)
+                                       unit, hdi, problem, eta, with_rhs)
+        S_u = np.asarray(unit_host[0], np.float64)
+        irr_ids = np.union1d(dist_ids, np.asarray(cut_ids))
     else:
-        cond = _assemble_level_cl(mesh, geom, cutdata, batch, hdi,
+        cond = _assemble_level_cl(mesh, geom, cell_loc, batch, hdi,
                                   problem, eta, use_pallas, with_rhs)
     if mixed:
         sub = _cut64_condensed(batch, hdi, problem, eta, with_rhs)
         cond = cells_last.set_cells(cond, cut_ids, sub)
-    return LevelData(mesh, cutdata, cut_ids, cond)
+    return LevelData(mesh, cutdata, cut_ids, cond, S_u, irr_ids,
+                     batch, cell_loc)
 
 
 # ---------------------------------------------------------------------------
@@ -488,7 +586,7 @@ def solve_fictdom_structured(
         n_smooth: int = 1, patch_ring: int = 1, mg_f32: bool = False,
         mg_smoother: str = "chebyshev", cheb_degree: int = 4,
         cg_f64: Optional[bool] = None, cg_segment: int = 0,
-        compute_h1: bool = True,
+        compute_h1: bool = True, fitted: str = "uniform",
         side: int = LOC_NEG) -> StructuredFictdomResult:
     """End-to-end fictdom solve on the generated N x N mesh (module
     docstring). ``precond``: 'mg' (reconstruction-transfer V-cycle,
@@ -530,16 +628,18 @@ def solve_fictdom_structured(
 
     t0 = time.perf_counter()
     fine = build_level(N, hdi, problem, eta, int_refsteps, mixed,
-                       use_pallas, with_rhs=True)
+                       use_pallas, with_rhs=True, fitted=fitted)
     jax.block_until_ready(fine.cond.S)
     timings["assemble_fine_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    levels = {N: fine}
     S_levels, cut_levels = {N: fine.cond.S}, {N: fine.cut_ids}
     if precond == "mg":
         for n in _mg_sizes(N, mg_coarsest)[1:]:
             lev = build_level(n, hdi, problem, eta, int_refsteps, mixed,
-                              use_pallas, with_rhs=False)
+                              use_pallas, with_rhs=False, fitted=fitted)
+            levels[n] = lev
             S_levels[n] = lev.cond.S
             cut_levels[n] = lev.cut_ids
     jax.block_until_ready(S_levels[min(S_levels)])
@@ -556,6 +656,7 @@ def solve_fictdom_structured(
             for n in sizes),
         mg_coarsest=mg_coarsest, n_smooth=n_smooth, mg_f32=mg_f32,
         mg_smoother=mg_smoother, cheb_degree=cheb_degree,
+        uniform_levels=uniform_static(levels),
         cg_f64=(jax.config.jax_enable_x64 and not mg_f32 and
                 not cg_segment
                 if cg_f64 is None else cg_f64))
@@ -575,10 +676,8 @@ def solve_fictdom_structured(
     if compute_h1:
         t0 = time.perf_counter()
         geom = jax.jit(cell_geometry)(fine.mesh)
-        batch = jax.jit(cut_methods.make_cut_batch)(
-            fine.mesh, geom, fine.cutdata, fine.cut_ids)
-        h1 = fictdom_h1_error_chunked(fine.mesh, geom, batch,
-                                      fine.cutdata, hdi, local,
+        h1 = fictdom_h1_error_chunked(fine.mesh, geom, fine.batch,
+                                      fine.cell_loc, hdi, local,
                                       problem.sol_grad, side)
         jax.block_until_ready(h1)
         timings["h1_s"] = time.perf_counter() - t0
@@ -587,18 +686,46 @@ def solve_fictdom_structured(
                                    timings)
 
 
+def _uniform_unpack(uniform_levels):
+    """Static uniform info tuple -> {n: (S_u numpy [nfd, nfd], ids numpy)}
+    (None stays None). The static form is a tuple of
+    (n, flat S_u floats, ids ints) triples, hashable for jit caching."""
+    if uniform_levels is None:
+        return None
+    out = {}
+    for n, su_flat, ids in uniform_levels:
+        nfd = int(round(len(su_flat) ** 0.5))
+        out[n] = (np.asarray(su_flat, np.float64).reshape(nfd, nfd),
+                  np.asarray(ids, np.int64))
+    return out
+
+
+def uniform_static(levels: dict):
+    """{n: LevelData} -> hashable static uniform_levels tuple (levels
+    without uniform info are skipped; returns None if none have it)."""
+    out = []
+    for n, lev in sorted(levels.items()):
+        if lev.S_u is not None:
+            out.append((n, tuple(float(v) for v in lev.S_u.ravel()),
+                        tuple(int(i) for i in lev.irr_ids)))
+    return tuple(out) if out else None
+
+
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi",
                                              "cut_levels", "mg_coarsest",
-                                             "cheb_degree"))
+                                             "cheb_degree",
+                                             "uniform_levels"))
 def _mg_setup_jit(S_list, *, sizes, hdi, cut_levels, mg_coarsest,
-                  cheb_degree):
+                  cheb_degree, uniform_levels=None):
     S_levels = dict(zip(sizes, S_list))
     cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
     fbs = bases.face_basis_size(hdi.face_degree)
     return multigrid.mg_setup_cl(max(sizes), fbs, S_levels, hdi,
                                  coarsest=mg_coarsest,
                                  cut_ids_per_level=cuts,
-                                 cheb_degree=cheb_degree)
+                                 cheb_degree=cheb_degree,
+                                 uniform_per_level=_uniform_unpack(
+                                     uniform_levels))
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem"))
@@ -617,19 +744,29 @@ def _rhs_jit(mesh, dofmap, cond, *, sizes, hdi, problem):
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi",
                                              "cut_levels", "mg_coarsest",
                                              "n_smooth", "cheb_degree",
-                                             "cg_params"))
+                                             "cg_params",
+                                             "uniform_levels"))
 def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
                 cut_levels, mg_coarsest, n_smooth, cheb_degree,
-                cg_params):
+                cg_params, uniform_levels=None):
     N = max(sizes)
     fbs = bases.face_basis_size(hdi.face_degree)
     sys_f = structured.make_structured_system(N, N, fbs)
-    apply_S = cells_last.make_structured_operator_cl(sys_f, S_fine)
+    uni = _uniform_unpack(uniform_levels)
+    if uni is not None and N in uni:
+        S_u, irr = uni[N]
+        dS = cells_last.uniform_deltas(S_fine,
+                                       S_u.astype(S_fine.dtype), irr)
+        apply_S = cells_last.make_uniform_operator_cl(
+            sys_f, S_u.astype(S_fine.dtype), irr, dS)
+    else:
+        apply_S = cells_last.make_structured_operator_cl(sys_f, S_fine)
     cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
     precond = functools.partial(
         multigrid.mg_precondition_cl, mgdata, N=N, fbs=fbs,
         cut_ids_per_level=cuts, coarsest=mg_coarsest,
-        n_smooth=n_smooth, cheb_degree=cheb_degree, hdi=hdi)
+        n_smooth=n_smooth, cheb_degree=cheb_degree, hdi=hdi,
+        uniform_per_level=uni)
     res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
                                  precond=precond, x0=x0, nr0=nr0)
     nr0_out = jnp.sqrt(sum(jnp.vdot(l, l).real for l in
@@ -677,7 +814,8 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
     hdi = kw["hdi"]
     stat = dict(sizes=sizes, hdi=hdi, cut_levels=kw["cut_levels"],
                 mg_coarsest=kw["mg_coarsest"],
-                cheb_degree=kw.get("cheb_degree", 4))
+                cheb_degree=kw.get("cheb_degree", 4),
+                uniform_levels=kw.get("uniform_levels"))
     mgdata = _mg_setup_jit(S_list, **stat)
     rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
                           problem=kw["problem"])
@@ -701,12 +839,13 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
                                              "mg_coarsest", "n_smooth",
                                              "mg_f32", "mg_smoother",
                                              "cheb_degree", "cg_f64",
-                                             "cg_params"))
+                                             "cg_params",
+                                             "uniform_levels"))
 def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
                hdi, problem,
                precond, cut_levels, mg_coarsest, n_smooth, cg_params,
                mg_f32=False, mg_smoother="chebyshev", cheb_degree=4,
-               cg_f64=False):
+               cg_f64=False, uniform_levels=None):
     """One compiled graph: Dirichlet fold, MG build (all setup math is
     traced), PCG, cell recovery. S_list: S_cl arrays matching the static
     ``sizes`` (ascending); the largest is the fine level.
@@ -728,7 +867,15 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
     gF_cl = g_loc[:, cbs:].T
 
     rhs = cells_last.structured_rhs_cl(sys_f, cond, gF_cl)
-    apply_S = cells_last.make_structured_operator_cl(sys_f, cond.S)
+    uni = _uniform_unpack(uniform_levels)
+    if uni is not None and N in uni:
+        S_u, irr = uni[N]
+        dS = cells_last.uniform_deltas(cond.S,
+                                       S_u.astype(cond.S.dtype), irr)
+        apply_S = cells_last.make_uniform_operator_cl(
+            sys_f, S_u.astype(cond.S.dtype), irr, dS)
+    else:
+        apply_S = cells_last.make_structured_operator_cl(sys_f, cond.S)
 
     if cg_f64 and cond.S.dtype == jnp.float32:
         # mixed-precision CG: f64 recurrences (x, r, d, dots) around the
@@ -764,7 +911,8 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
         mg = multigrid.build_multigrid(
             N, fbs, mg_S, hdi=hdi, coarsest=mg_coarsest,
             n_smooth=n_smooth, cut_ids_per_level=cuts,
-            smoother=mg_smoother, cheb_degree=cheb_degree, layout="cl")
+            smoother=mg_smoother, cheb_degree=cheb_degree, layout="cl",
+            uniform_per_level=uni)
         if mg_f32 and cond.S.dtype != jnp.float32:
             dt = cond.S.dtype
 
@@ -804,7 +952,7 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
 
 @functools.partial(jax.jit, static_argnames=("hdi", "sol_grad", "side",
                                              "chunk"))
-def fictdom_h1_error_chunked(mesh, geom, batch, cutdata,
+def fictdom_h1_error_chunked(mesh, geom, batch, cell_loc,
                              hdi: HHODegreeInfo, local, sol_grad,
                              side: int = LOC_NEG, chunk: int = 65536,
                              cut_valid=None):
@@ -835,7 +983,7 @@ def fictdom_h1_error_chunked(mesh, geom, batch, cutdata,
               pad(geom.bar).reshape(nb, bs, 2),
               pad(geom.diam).reshape(nb, bs),
               pad(cdofs).reshape(nb, bs, cbs),
-              pad(cutdata.cell_loc == side).reshape(nb, bs))
+              pad(cell_loc == side).reshape(nb, bs))
 
     def block_err(blk):
         cp_b, bar_b, diam_b, dofs_b, mask_b = blk

@@ -216,6 +216,163 @@ def make_structured_operator_cl(sys: StructuredFaceSystem, S_cl):
     return apply_S
 
 
+# ---------------------------------------------------------------------------
+# Uniform-stencil split operator
+#
+# On the generated mesh the condensed local Schur matrix is IDENTICAL for
+# every uncut/undistorted cell (congruent squares + translation-invariant
+# scaled-monomial bases), so S_cl = broadcast(S_u) + dS with dS supported
+# on the O(N) irregular (cut/displaced) columns. The matvec then needs to
+# read only x — a constant-coefficient stencil whose 64 coefficients are
+# compile-time scalars — plus a small indexed correction, instead of
+# streaming the [nfd*nfd, C] S array: measured 3.7 ms -> 0.5 + ~1 ms per
+# apply at 1024^2 (scripts/op_chain_prof.py).
+# ---------------------------------------------------------------------------
+
+
+def uniform_deltas(S_cl, S_u, ids):
+    """dS [nfd*nfd, Ci] = S_cl[:, ids] - S_u (setup-time)."""
+    ids = jnp.asarray(ids)
+    return S_cl[:, ids] - jnp.asarray(S_u).reshape(-1, 1).astype(S_cl.dtype)
+
+
+def _shift_rows(a, d):
+    """Rows of a [.., R, L] shifted by d with zero fill (axis -2)."""
+    if d == 0:
+        return a
+    z = jnp.zeros_like(a[..., :abs(d), :])
+    return (jnp.concatenate([a[..., d:, :], z], axis=-2) if d > 0
+            else jnp.concatenate([z, a[..., :d, :]], axis=-2))
+
+
+def make_uniform_operator_cl(sys: StructuredFaceSystem, S_u,
+                             ids=None, dS=None):
+    """Matrix-free Schur operator for the CONSTANT-coefficient system:
+    ``S_u`` is the [nfd, nfd] unit-cell condensed matrix as a host
+    (numpy) array — its entries become compile-time scalars. With
+    ``ids``/``dS`` (irregular columns and their S deviation,
+    uniform_deltas), the result is EXACTLY make_structured_operator_cl of
+    the spliced system; without them it is the pure uniform operator
+    (used as the V-cycle smoother operator)."""
+    fbs = sys.fbs
+    nfd = 4 * fbs
+    Su = np.asarray(S_u)
+    assert Su.shape == (nfd, nfd)
+    b, r, t, l = 0, fbs, 2 * fbs, 3 * fbs
+    if ids is not None:
+        ids_np = np.asarray(ids)
+        jj = jnp.asarray(ids_np // sys.Nx, jnp.int32)
+        ii = jnp.asarray(ids_np % sys.Nx, jnp.int32)
+
+    def apply_S(x: GridVecCL) -> GridVecCL:
+        H = x.H * sys.freeH[None]
+        V = x.V * sys.freeV[None]
+        # local slot planes on the cell grid [Ny, Nx]
+        xl = [None] * nfd
+        for m in range(fbs):
+            xl[b + m] = H[m, :-1, :]
+            xl[t + m] = H[m, 1:, :]
+            xl[l + m] = V[m, :, :-1]
+            xl[r + m] = V[m, :, 1:]
+        c = [sum(float(Su[s, s2]) * xl[s2] for s2 in range(nfd)
+                 if Su[s, s2] != 0.0) for s in range(nfd)]
+        zrow = jnp.zeros((1, sys.Nx), H.dtype)
+        yH = jnp.stack([
+            jnp.concatenate([c[b + m], zrow], axis=0) +
+            jnp.concatenate([zrow, c[t + m]], axis=0)
+            for m in range(fbs)])
+        zcol = jnp.zeros((sys.Ny, 1), V.dtype)
+        yV = jnp.stack([
+            jnp.concatenate([c[l + m], zcol], axis=1) +
+            jnp.concatenate([zcol, c[r + m]], axis=1)
+            for m in range(fbs)])
+
+        if ids is not None and ids_np.shape[0] > 0:
+            # correction: gather local vectors of irregular cells, apply
+            # dS, scatter-add (masks: sources already masked; targets
+            # masked by re-multiplying free)
+            xli = jnp.concatenate([H[:, jj, ii], V[:, jj, ii + 1],
+                                   H[:, jj + 1, ii], V[:, jj, ii]], axis=0)
+            ci = _matvec_rows(dS, xli, nfd, nfd).reshape(4, fbs, -1)
+            yH = yH.at[:, jj, ii].add(ci[0]).at[:, jj + 1, ii].add(ci[2])
+            yV = yV.at[:, jj, ii].add(ci[3]).at[:, jj, ii + 1].add(ci[1])
+
+        return GridVecCL(
+            yH * sys.freeH[None] + x.H * (~sys.freeH[None]),
+            yV * sys.freeV[None] + x.V * (~sys.freeV[None]))
+
+    return apply_S
+
+
+def uniform_block_jacobi_blocks(sys: StructuredFaceSystem, S_u):
+    """Host-side [fbs, fbs] inverse diagonal blocks of the uniform
+    system's interior H- and V-faces: every free face sees the same two
+    cell contributions (bottom+top slots resp. left+right slots)."""
+    fbs = np.asarray(S_u).shape[0] // 4
+    Su = np.asarray(S_u)
+    b, r, t, l = 0, fbs, 2 * fbs, 3 * fbs
+    BH = Su[b:b + fbs, b:b + fbs] + Su[t:t + fbs, t:t + fbs]
+    BV = Su[l:l + fbs, l:l + fbs] + Su[r:r + fbs, r:r + fbs]
+    return np.linalg.inv(BH), np.linalg.inv(BV)
+
+
+def irregular_face_indices(sys: StructuredFaceSystem, ids):
+    """STATIC (host) face index sets touched by the irregular cells
+    ``ids``: ((hj, hi), (vj, vi)) as unique numpy index arrays — the only
+    faces whose assembled diagonal block can deviate from the uniform
+    interior block. (Frozen faces also deviate — identity — but carry
+    zero residual throughout the masked CG, so they need no
+    correction.)"""
+    ids_np = np.asarray(ids)
+    jj, ii = ids_np // sys.Nx, ids_np % sys.Nx
+    hkey = np.unique(np.concatenate([jj * sys.Nx + ii,
+                                     (jj + 1) * sys.Nx + ii]))
+    vkey = np.unique(np.concatenate([jj * (sys.Nx + 1) + ii,
+                                     jj * (sys.Nx + 1) + ii + 1]))
+    return ((hkey // sys.Nx, hkey % sys.Nx),
+            (vkey // (sys.Nx + 1), vkey % (sys.Nx + 1)))
+
+
+def uniform_bj_corrections(sys: StructuredFaceSystem, iH, iV, iHu, iVu,
+                           ids):
+    """Setup (traceable): per-face deviations of the block-Jacobi inverse
+    planes against the uniform interior inverses, on the faces touched by
+    the irregular cells. Returns (hj, hi, dH [fbs, fbs, nH]),
+    (vj, vi, dV)."""
+    (hj, hi), (vj, vi) = irregular_face_indices(sys, ids)
+    dH = iH[:, :, hj, hi] - jnp.asarray(iHu)[:, :, None].astype(iH.dtype)
+    dV = iV[:, :, vj, vi] - jnp.asarray(iVu)[:, :, None].astype(iV.dtype)
+    return ((jnp.asarray(hj, jnp.int32), jnp.asarray(hi, jnp.int32), dH),
+            (jnp.asarray(vj, jnp.int32), jnp.asarray(vi, jnp.int32), dV))
+
+
+def make_uniform_block_jacobi_cl(sys: StructuredFaceSystem, iHu, iVu,
+                                 corrH=None, corrV=None):
+    """Block-Jacobi apply with CONSTANT interior inverse blocks (host
+    scalars) plus optional per-face corrections from
+    uniform_bj_corrections."""
+    fbs = sys.fbs
+    iHu = np.asarray(iHu)
+    iVu = np.asarray(iVu)
+
+    def precond(x: GridVecCL) -> GridVecCL:
+        H = jnp.stack([sum(float(iHu[i, j]) * x.H[j] for j in range(fbs))
+                       for i in range(fbs)])
+        V = jnp.stack([sum(float(iVu[i, j]) * x.V[j] for j in range(fbs))
+                       for i in range(fbs)])
+        if corrH is not None and corrH[0].shape[0] > 0:
+            hj, hi, dH = corrH
+            rh = x.H[:, hj, hi]
+            H = H.at[:, hj, hi].add(_einsum("ijc,jc->ic", dH, rh))
+        if corrV is not None and corrV[0].shape[0] > 0:
+            vj, vi, dV = corrV
+            rv = x.V[:, vj, vi]
+            V = V.at[:, vj, vi].add(_einsum("ijc,jc->ic", dV, rv))
+        return GridVecCL(H, V)
+
+    return precond
+
+
 def structured_diagonal_cl(sys: StructuredFaceSystem, S_cl) -> GridVecCL:
     nfd = 4 * sys.fbs
     dl = jnp.stack([S_cl[i * nfd + i] for i in range(nfd)])

@@ -412,23 +412,42 @@ class MGDataCL(NamedTuple):
     """All V-cycle setup ARRAYS as a pytree (cells-last layout), so MG
     setup can live in its own jit and the CG segments reuse it instead
     of re-executing patch inversions / lambda_max power iterations /
-    the coarse factorization on every warm-started segment."""
+    the coarse factorization on every warm-started segment.
 
-    S: tuple           # per level [nfd*nfd, C_n], fine -> coarse
-    bj: tuple          # per level (iH, iV) block-Jacobi inverse planes
+    In UNIFORM mode (``uniform_per_level`` given to mg_setup_cl — the
+    generated-mesh fast path), per-level entries hold the constant-
+    stencil decomposition instead of full planes: S = dS [nfd*nfd, Ci]
+    deviations on the irregular columns (the [nfd, nfd] uniform block
+    itself travels STATICALLY, outside this pytree), bj = (corrH, corrV)
+    sparse block-Jacobi corrections."""
+
+    S: tuple           # per level [nfd*nfd, C_n] — or dS (uniform mode)
+    bj: tuple          # per level (iH, iV) planes — or (corrH, corrV)
     lam: tuple         # per level Chebyshev lambda_max (scalar arrays)
     patch: tuple       # per level (Binv, wH, wV) or () when no cut cells
     transfers: tuple   # per gap (MH, MV) transfer-matrix stencils
     coarse_chol: jnp.ndarray
 
 
+def _uniform_su(uniform_per_level, n):
+    """Static [nfd, nfd] numpy block + irregular ids of level n (the
+    static half of the uniform decomposition), or (None, None)."""
+    if uniform_per_level is None or n not in uniform_per_level:
+        return None, None
+    S_u, ids = uniform_per_level[n]
+    return np.asarray(S_u, dtype=np.float64), np.asarray(ids)
+
+
 def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
                 coarsest: int = 8, cut_ids_per_level=None,
-                cheb_degree: int = 4) -> MGDataCL:
+                cheb_degree: int = 4,
+                uniform_per_level=None) -> MGDataCL:
     """Compute every array the Chebyshev-smoothed cells-last V-cycle
     needs (see MGDataCL). Pure function of the S arrays — jit it with
     S as arguments (closures over big arrays break the axon remote
-    compile)."""
+    compile). ``uniform_per_level`` ({n: (S_u [nfd, nfd] numpy,
+    irregular ids numpy)}, static) switches level n to the
+    constant-stencil decomposition."""
     from ..methods import cells_last as cl
 
     sizes = _mg_sizes(N, coarsest)
@@ -439,11 +458,23 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
     for i, n in enumerate(sizes):
         sys_n = systems[n]
         S_n = S_per_level[n]
-        S_t.append(S_n)
+        S_u, irr = _uniform_su(uniform_per_level, n)
         iH, iV = cl.block_jacobi_setup_cl(sys_n, S_n)
-        bj_t.append((iH, iV))
-        apply_S = cl.make_structured_operator_cl(sys_n, S_n)
-        base = partial(cl.apply_block_jacobi_cl, iH, iV)
+        if S_u is not None:
+            S_t.append(cl.uniform_deltas(S_n, S_u.astype(dtype), irr))
+            iHu, iVu = cl.uniform_block_jacobi_blocks(sys_n, S_u)
+            corrH, corrV = cl.uniform_bj_corrections(
+                sys_n, iH, iV, iHu.astype(dtype), iVu.astype(dtype), irr)
+            bj_t.append((corrH, corrV))
+            apply_S = cl.make_uniform_operator_cl(sys_n, S_u.astype(dtype),
+                                                  irr, S_t[-1])
+            base = cl.make_uniform_block_jacobi_cl(
+                sys_n, iHu.astype(dtype), iVu.astype(dtype), corrH, corrV)
+        else:
+            S_t.append(S_n)
+            bj_t.append((iH, iV))
+            apply_S = cl.make_structured_operator_cl(sys_n, S_n)
+            base = partial(cl.apply_block_jacobi_cl, iH, iV)
         like = cl.GridVecCL(jnp.zeros((fbs, n + 1, n), dtype),
                             jnp.zeros((fbs, n, n + 1), dtype))
         lam_t.append(estimate_lambda_max(apply_S, base, like))
@@ -461,7 +492,12 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
     # densify + factor the coarsest operator
     nco = sizes[-1]
     sys_c = systems[nco]
-    apply_c = cl.make_structured_operator_cl(sys_c, S_per_level[nco])
+    S_u, irr = _uniform_su(uniform_per_level, nco)
+    if S_u is not None:
+        apply_c = cl.make_uniform_operator_cl(sys_c, S_u.astype(dtype),
+                                              irr, S_t[-1])
+    else:
+        apply_c = cl.make_structured_operator_cl(sys_c, S_per_level[nco])
     hshape = (fbs, nco + 1, nco)
     vshape = (fbs, nco, nco + 1)
     ntot = int(np.prod(hshape) + np.prod(vshape))
@@ -479,19 +515,30 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
 def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
                        cut_ids_per_level=None, coarsest: int = 8,
                        n_smooth: int = 1, cheb_degree: int = 4,
-                       hdi=None):
+                       hdi=None, uniform_per_level=None):
     """Apply the V-cycle from precomputed MGDataCL arrays (the pure-
-    function twin of Multigrid.precondition; cut ids are static)."""
+    function twin of Multigrid.precondition; cut ids are static).
+    ``uniform_per_level`` must match the mg_setup_cl call."""
     from ..methods import cells_last as cl
 
     sizes = _mg_sizes(N, coarsest)
     systems = {n: make_structured_system(n, n, fbs) for n in sizes}
+    dtype = jax.tree.leaves(r)[0].dtype
     levels = []
     for i, n in enumerate(sizes):
         sys_n = systems[n]
-        apply_S = cl.make_structured_operator_cl(sys_n, data.S[i])
-        iH, iV = data.bj[i]
-        base = partial(cl.apply_block_jacobi_cl, iH, iV)
+        S_u, irr = _uniform_su(uniform_per_level, n)
+        if S_u is not None:
+            apply_S = cl.make_uniform_operator_cl(sys_n, S_u.astype(dtype),
+                                                  irr, data.S[i])
+            corrH, corrV = data.bj[i]
+            iHu, iVu = cl.uniform_block_jacobi_blocks(sys_n, S_u)
+            base = cl.make_uniform_block_jacobi_cl(
+                sys_n, iHu.astype(dtype), iVu.astype(dtype), corrH, corrV)
+        else:
+            apply_S = cl.make_structured_operator_cl(sys_n, data.S[i])
+            iH, iV = data.bj[i]
+            base = partial(cl.apply_block_jacobi_cl, iH, iV)
         smooth = make_chebyshev_smoother(apply_S, base, data.lam[i],
                                          degree=cheb_degree)
         smoothers = (smooth,)
@@ -505,10 +552,10 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
             nc = sizes[i + 1]
             prol = make_reconstruction_prolongation_cl(
                 sys_n, systems[nc], hdi, 1.0 / nc,
-                data.S[i].dtype, mats=data.transfers[i])
+                dtype, mats=data.transfers[i])
             restrict = make_reconstruction_restriction_cl(
                 sys_n, systems[nc], hdi, 1.0 / nc,
-                data.S[i].dtype, mats=data.transfers[i])
+                dtype, mats=data.transfers[i])
         else:
             prol = restrict = None
         levels.append(MGLevel(sys_n, apply_S, smoothers, prol, restrict))
@@ -565,9 +612,15 @@ def _vcycle(mg: Multigrid, lvl: int, b):
         return _unflatten(x, mg.coarse_shape, mg.layout)
 
     def sweep(x, b, steps):
+        # x=None encodes the zero initial guess: the first residual is b
+        # itself, saving one operator application per V-cycle per level
         for s in steps:
-            r = jax.tree.map(lambda bb, ss: bb - ss, b, level.apply_S(x))
-            x = jax.tree.map(lambda xx, dd: xx + dd, x, s(r))
+            if x is None:
+                x = s(b)
+            else:
+                r = jax.tree.map(lambda bb, ss: bb - ss, b,
+                                 level.apply_S(x))
+                x = jax.tree.map(lambda xx, dd: xx + dd, x, s(r))
         return x
 
     def smooth(x, b, steps):
@@ -575,8 +628,7 @@ def _vcycle(mg: Multigrid, lvl: int, b):
             x = sweep(x, b, steps)
         return x
 
-    x = jax.tree.map(jnp.zeros_like, b)
-    x = smooth(x, b, level.smoothers)
+    x = smooth(None, b, level.smoothers)
     r = jax.tree.map(lambda bb, ss: bb - ss, b, level.apply_S(x))
     rc = level.restrict(r)
     ec = _vcycle(mg, lvl + 1, rc)
@@ -591,7 +643,8 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                     smoother: str = "block_jacobi",
                     cut_ids_per_level=None, patch_sweeps: int = 1,
                     cheb_degree: int = 4,
-                    layout: str = "rm") -> Multigrid:
+                    layout: str = "rm",
+                    uniform_per_level=None) -> Multigrid:
     """S_per_level: dict {n: S_n [C_n, nfd, nfd]} containing the condensed
     local Schur matrices for each mesh size n = N, N/2, ..., coarsest
     (rediscretized; the caller assembles them).
@@ -657,8 +710,24 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
     systems = {n: make_structured_system(n, n, fbs) for n in sizes}
     for i, n in enumerate(sizes):
         sys_n = systems[n]
-        apply_S = op_fn(sys_n, S_per_level[n])
-        if smoother in ("block_jacobi", "chebyshev"):
+        S_u, irr = (None, None) if layout != "cl" else \
+            _uniform_su(uniform_per_level, n)
+        if S_u is not None:
+            from ..methods import cells_last as _cl
+            dS = _cl.uniform_deltas(S_per_level[n], S_u.astype(dtype), irr)
+            apply_S = _cl.make_uniform_operator_cl(
+                sys_n, S_u.astype(dtype), irr, dS)
+        else:
+            apply_S = op_fn(sys_n, S_per_level[n])
+        if S_u is not None and smoother in ("block_jacobi", "chebyshev"):
+            from ..methods import cells_last as _cl
+            iH, iV = _cl.block_jacobi_setup_cl(sys_n, S_per_level[n])
+            iHu, iVu = _cl.uniform_block_jacobi_blocks(sys_n, S_u)
+            corrH, corrV = _cl.uniform_bj_corrections(
+                sys_n, iH, iV, iHu.astype(dtype), iVu.astype(dtype), irr)
+            base = _cl.make_uniform_block_jacobi_cl(
+                sys_n, iHu.astype(dtype), iVu.astype(dtype), corrH, corrV)
+        elif smoother in ("block_jacobi", "chebyshev"):
             base = bj_fn(sys_n, S_per_level[n])
         else:
             diag = diag_fn(sys_n, S_per_level[n])

@@ -175,3 +175,36 @@ def test_line_level_set_split():
     neg = float(jnp.sum(geom.meas[loc == classify.LOC_NEG])) + \
         float(jnp.sum(cq.side_measure(poly)))
     assert np.isclose(neg, y0, atol=1e-9)
+
+
+@pytest.mark.parametrize("ls_kind", ["circle", "line", "none"])
+def test_band_preprocess_matches_full(ls_kind):
+    """cut_preprocess_band reproduces the full pipeline EXACTLY on every
+    meaningful entry: points, node/face/cell locations, distorted flags,
+    and the cut faces'/cells' intersection + interface tables."""
+    import proton_tpu as pt
+    from proton_tpu.cut import levelset
+
+    N = 32
+    mesh = pt.make_poly_mesh(Nx=N, Ny=N)
+    if ls_kind == "circle":
+        phi = levelset.circle_level_set(0.35, 0.5, 0.5)
+    elif ls_kind == "line":
+        phi = levelset.line_level_set(0.5321)
+    else:
+        phi = levelset.circle_level_set(0.1, 5.0, 5.0)   # fully outside
+    m_f, cd_f = classify.cut_preprocess(mesh, phi, levels=4)
+    m_b, cd_b = classify.cut_preprocess_band(mesh, phi, levels=4)
+
+    assert np.array_equal(np.asarray(m_f.points), np.asarray(m_b.points))
+    for name in ("node_loc", "face_loc", "face_node_inside", "cell_loc",
+                 "distorted", "agglo_set"):
+        assert np.array_equal(np.asarray(getattr(cd_f, name)),
+                              np.asarray(getattr(cd_b, name))), name
+    cut_f = np.asarray(cd_f.face_loc) == classify.LOC_CUT
+    assert np.array_equal(np.asarray(cd_f.face_isect)[cut_f],
+                          np.asarray(cd_b.face_isect)[cut_f])
+    cut_c = np.asarray(cd_f.cell_loc) == classify.LOC_CUT
+    assert cd_f.interface.shape == cd_b.interface.shape
+    assert np.array_equal(np.asarray(cd_f.interface)[cut_c],
+                          np.asarray(cd_b.interface)[cut_c])

@@ -41,7 +41,8 @@ def test_h1_chunked_matches_full():
     batch = cut_methods.make_cut_batch(mesh, geom, cutdata, cut_ids)
     full = fictdom.fictdom_h1_error(mesh, geom, batch, cutdata, hdi,
                                     r.local, problem.sol_grad)
-    chunked = fs.fictdom_h1_error_chunked(mesh, geom, batch, cutdata, hdi,
+    chunked = fs.fictdom_h1_error_chunked(mesh, geom, batch,
+                                          cutdata.cell_loc, hdi,
                                           r.local, problem.sol_grad,
                                           chunk=100)   # 144 cells -> 2 blocks
     assert np.isclose(float(chunked), float(full), rtol=1e-10)
@@ -169,7 +170,8 @@ def test_assemble_f64_chunked_matches_upcast():
     geom = cell_geometry(mesh)
     batch = cut_methods.make_cut_batch(mesh, geom, cutdata, cut_ids)
 
-    got = fs._assemble_level_cl_f64(mesh, geom, cutdata, batch, hdi,
+    got = fs._assemble_level_cl_f64(mesh, geom, cutdata.cell_loc,
+                                    batch, hdi,
                                     problem, eta, with_rhs=True,
                                     chunk=100)     # 144 cells -> 2 blocks
     assert got.S.dtype == jnp.float64
@@ -178,7 +180,7 @@ def test_assemble_f64_chunked_matches_upcast():
     geom64 = cell_geometry(mesh64)
     batch64 = cut_methods.make_cut_batch(mesh64, geom64,
                                          fs._cast64(cutdata), cut_ids)
-    ref = fs._assemble_level_cl(mesh64, geom64, fs._cast64(cutdata),
+    ref = fs._assemble_level_cl(mesh64, geom64, cutdata.cell_loc,
                                 batch64, hdi, problem, eta,
                                 use_pallas=False, with_rhs=True)
     sub = fs._cut64_impl(batch, hdi=hdi, problem=problem, eta=eta,
@@ -225,3 +227,79 @@ def test_uniform_assembly_matches_full(k):
         scale = float(jnp.max(jnp.abs(da))) + 1e-300
         rel = float(jnp.max(jnp.abs(da - db))) / scale
         assert rel < 5e-13, (name, rel)
+
+
+def test_uniform_split_operator_matches_structured():
+    """The constant-stencil split operator (uniform S_u broadcast + dS on
+    the irregular columns) and its block-Jacobi twin reproduce the full
+    cells-last operator EXACTLY on a cut fictdom level."""
+    from proton_tpu.core.ops import HHODegreeInfo
+    from proton_tpu.methods import cells_last, structured
+
+    N, k = 24, 1
+    hdi = HHODegreeInfo(k + 1, k)
+    lev = fs.build_level(N, hdi, fs.default_problem(), fs.nitsche_eta(k),
+                         4, mixed=False, use_pallas=False, with_rhs=True,
+                         fitted="uniform")
+    assert lev.S_u is not None
+    sys_f = structured.make_structured_system(N, N, 2)
+    S = lev.cond.S
+    dS = cells_last.uniform_deltas(S, lev.S_u.astype(S.dtype),
+                                   lev.irr_ids)
+    apply_u = cells_last.make_uniform_operator_cl(
+        sys_f, lev.S_u.astype(S.dtype), lev.irr_ids, dS)
+    apply_f = cells_last.make_structured_operator_cl(sys_f, S)
+    rng = np.random.default_rng(3)
+    x = cells_last.GridVecCL(
+        jnp.asarray(rng.standard_normal((2, N + 1, N))),
+        jnp.asarray(rng.standard_normal((2, N, N + 1))))
+    yu, yf = apply_u(x), apply_f(x)
+    assert float(jnp.max(jnp.abs(yu.H - yf.H))) < 1e-12
+    assert float(jnp.max(jnp.abs(yu.V - yf.V))) < 1e-12
+
+    # block-Jacobi: constant interior inverses + sparse corrections
+    iH, iV = cells_last.block_jacobi_setup_cl(sys_f, S)
+    iHu, iVu = cells_last.uniform_block_jacobi_blocks(sys_f, lev.S_u)
+    corrH, corrV = cells_last.uniform_bj_corrections(
+        sys_f, iH, iV, iHu.astype(S.dtype), iVu.astype(S.dtype),
+        lev.irr_ids)
+    bj_u = cells_last.make_uniform_block_jacobi_cl(
+        sys_f, iHu.astype(S.dtype), iVu.astype(S.dtype), corrH, corrV)
+    from functools import partial
+    bj_f = partial(cells_last.apply_block_jacobi_cl, iH, iV)
+    r = cells_last.GridVecCL(x.H * sys_f.freeH[None],
+                             x.V * sys_f.freeV[None])
+    zu, zf = bj_u(r), bj_f(r)
+    assert float(jnp.max(jnp.abs(zu.H - zf.H))) < 1e-12
+    assert float(jnp.max(jnp.abs(zu.V - zf.V))) < 1e-12
+
+
+def test_uniform_solve_matches_full():
+    """End-to-end: the uniform fitted mode (split operator through MG
+    setup, V-cycle and CG) converges to the same solution as the full
+    assembly path."""
+    cgp = _cgp(1e-10)
+    r_f = fs.solve_fictdom_structured(16, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="full")
+    r_u = fs.solve_fictdom_structured(16, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="uniform")
+    assert int(r_u.exit_reason) == cg.CONVERGED
+    assert float(jnp.max(jnp.abs(r_u.local - r_f.local))) < 1e-8
+    assert np.isclose(float(r_u.h1_error), float(r_f.h1_error),
+                      rtol=1e-8)
+
+
+def test_uniform_segmented_solve_matches():
+    """The segmented path (_mg_setup_jit/_cg_seg_jit) with the uniform
+    decomposition matches the full-path solution."""
+    cgp = _cgp(1e-10)
+    r_f = fs.solve_fictdom_structured(16, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="full")
+    r_u = fs.solve_fictdom_structured(16, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      cg_segment=25, fitted="uniform")
+    assert int(r_u.exit_reason) == cg.CONVERGED
+    assert float(jnp.max(jnp.abs(r_u.local - r_f.local))) < 1e-8
