@@ -75,6 +75,7 @@ def main():
     n_smooth = int(os.environ.get("PROTON_BENCH_NSMOOTH", "1"))
     patch_ring = int(os.environ.get("PROTON_BENCH_RING", "1"))
     cheb_degree = int(os.environ.get("PROTON_BENCH_CHEB", "4"))
+    patch_colors = int(os.environ.get("PROTON_BENCH_PCOLORS", "1"))
     # segmented CG (true-residual restarts) is the f32-stagnation fix
     # that runs on TPU; cg_f64 (f64 CG recurrences) faults the device at
     # 1024^2 in the emulated-f64 loop ops
@@ -151,29 +152,57 @@ def main():
     # rounding scatter, and the matvec becomes a compile-time-constant
     # stencil + O(N) correction). f64 accurate mode keeps the chunked
     # f64 per-cell system.
-    uniform_solve = _PRECISION != "f64" and \
-        os.environ.get("PROTON_BENCH_UNIFORM", "1") == "1"
+    uniform_solve = os.environ.get("PROTON_BENCH_UNIFORM", "1") == "1"
+    lean = os.environ.get("PROTON_BENCH_LEAN", "1") == "1" and \
+        _PRECISION != "f64"
     levels = {}
     if uniform_solve:
         unit_host = fs._unit_cell_host(hdi, 1.0 / N)
-        unit = tuple(jnp.asarray(a, cond.S.dtype) for a in unit_host)
-        cond = fs._assemble_level_uniform(
-            mesh, geom, cell_loc, batch,
-            jnp.asarray(dist_ids, dtype=jnp.int32), unit, hdi, problem,
-            eta, with_rhs=True)
-        if _MIXED:
-            sub = fs._cut64_condensed(batch, hdi, problem, eta,
-                                      with_rhs=True)
-            cond = cells_last.set_cells(cond, cut_ids, sub)
-        jax.block_until_ready(cond.S)
+        irr = np.union1d(dist_ids, np.asarray(cut_ids))
+        if _PRECISION == "f64":
+            # f64 accurate mode: exact f64 unit blocks + chunked f64 rhs
+            # + f64 cut/distorted splices (no full-mesh f64 geometry)
+            unit = tuple(jnp.asarray(a, jnp.float64) for a in unit_host)
+            cond = fs._assemble_level_uniform64(
+                mesh, cell_loc, batch,
+                jnp.asarray(dist_ids, dtype=jnp.int32), unit, hdi,
+                problem, eta, with_rhs=True)
+        elif lean:
+            # lean system: broadcasts stay implicit; ~4x less HBM
+            unit = tuple(jnp.asarray(a, cond.S.dtype) for a in unit_host)
+            cond = fs._assemble_level_uniform_lean(
+                mesh, geom, cell_loc, batch,
+                jnp.asarray(dist_ids, dtype=jnp.int32),
+                jnp.asarray(irr, dtype=jnp.int32), unit, hdi, problem,
+                eta, with_rhs=True)
+            if _MIXED:
+                sub = fs._cut64_condensed(batch, hdi, problem, eta,
+                                          with_rhs=True)
+                cond = fs._set_cells_lean(
+                    cond, unit[0].reshape(-1, 1),
+                    jnp.asarray(irr, dtype=jnp.int32),
+                    jnp.asarray(cut_ids, dtype=jnp.int32), sub)
+        else:
+            unit = tuple(jnp.asarray(a, cond.S.dtype) for a in unit_host)
+            cond = fs._assemble_level_uniform(
+                mesh, geom, cell_loc, batch,
+                jnp.asarray(dist_ids, dtype=jnp.int32), unit, hdi,
+                problem, eta, with_rhs=True)
+            if _MIXED:
+                sub = fs._cut64_condensed(batch, hdi, problem, eta,
+                                          with_rhs=True)
+                cond = cells_last.set_cells(cond, cut_ids, sub)
+        jax.block_until_ready(jax.tree.leaves(cond)[0])
         levels[N] = fs.LevelData(
             mesh, None, cut_ids, cond,
-            np.asarray(unit_host[0], np.float64),
-            np.union1d(dist_ids, np.asarray(cut_ids)), batch, cell_loc)
+            np.asarray(unit_host[0], np.float64), irr, batch, cell_loc)
 
     # ---------------- MG hierarchy (rediscretized coarse levels) ----------
     t0 = time.perf_counter()
-    S_levels, cut_levels = {N: cond.S}, {N: cut_ids}
+    _S = lambda c: (c.dS if isinstance(c, cells_last.UniformCondCL)
+                    else c.S)
+    dtype = _S(cond).dtype
+    S_levels, cut_levels = {N: _S(cond)}, {N: cut_ids}
     if precond == "mg":
         # the preconditioner only needs the f64 cut splice where f32
         # rounds the blocks indefinite (k >= 2)
@@ -181,9 +210,10 @@ def main():
             lev = fs.build_level(n, hdi, problem, eta, int_refsteps=4,
                                  mixed=_MIXED and k >= 2,
                                  use_pallas=use_pallas,
-                                 with_rhs=False, fitted="uniform")
+                                 with_rhs=False,
+                                 fitted="lean" if lean else "uniform")
             levels[n] = lev
-            S_levels[n] = lev.cond.S.astype(cond.S.dtype)
+            S_levels[n] = _S(lev.cond).astype(dtype)
             cut_levels[n] = lev.cut_ids
         jax.block_until_ready(S_levels[min(S_levels)])
     t_mg_setup = time.perf_counter() - t0
@@ -199,6 +229,7 @@ def main():
     kw = dict(sizes=sizes, hdi=hdi, problem=problem, precond=precond,
               cut_levels=cut_static, mg_coarsest=8,
               n_smooth=n_smooth, cheb_degree=cheb_degree,
+              patch_colors=patch_colors,
               uniform_levels=fs.uniform_static(levels),
               cg_f64=cg_f64, mg_f32=_PRECISION == "f64")
 

@@ -40,6 +40,10 @@ def main(argv=None):
                     help="lax.map tile over geometries (memory bound)")
     ap.add_argument("--capacity", type=int, default=None,
                     help="padded cut-class capacity (default 6N)")
+    ap.add_argument("--shape", choices=("circle", "ellipse", "flower"),
+                    default="circle",
+                    help="level-set family (cut/batched.py + "
+                         "cut/levelset.py)")
     ap.add_argument("--tol", type=float, default=1e-6)
     args = ap.parse_args(argv)
 
@@ -57,9 +61,33 @@ def main(argv=None):
                       apply_preconditioner=True)
 
     t0 = time.perf_counter()
-    res = batched.solve_fictdom_family(
-        args.N, args.k, radii, centers, capacity=args.capacity,
-        geom_chunk=args.geom_chunk, cg_params=cgp)
+    if args.shape == "circle":
+        res = batched.solve_fictdom_family(
+            args.N, args.k, radii, centers, capacity=args.capacity,
+            geom_chunk=args.geom_chunk, cg_params=cgp)
+    elif args.shape == "ellipse":
+        params = (radii, 0.8 * radii, centers[:, 0], centers[:, 1])
+        res = batched.solve_fictdom_family_params(
+            args.N, args.k, params, batched.ellipse_family,
+            capacity=args.capacity, geom_chunk=args.geom_chunk,
+            cg_params=cgp)
+    else:
+        from proton_tpu.cut import levelset
+        from proton_tpu.cut.fictdom_structured import (FictdomProblem,
+                                                       default_problem)
+
+        def flower_family(p):
+            r0, amp, cx, cy = p
+            base = default_problem()
+            return FictdomProblem(
+                levelset.flower_level_set(r0, amp, 5, cx, cy),
+                base.rhs_fun, base.sol_fun, base.sol_grad)
+
+        params = (radii, 0.1 * radii, centers[:, 0], centers[:, 1])
+        res = batched.solve_fictdom_family_params(
+            args.N, args.k, params, flower_family,
+            capacity=args.capacity, geom_chunk=args.geom_chunk,
+            cg_params=cgp)
     jax.block_until_ready(res.h1_error)
     t_total = time.perf_counter() - t0
 
@@ -72,6 +100,7 @@ def main(argv=None):
         "n_cut": [int(c) for c in np.asarray(res.n_cut)],
         "all_converged": bool(np.all(np.asarray(res.exit_reason) == 0)),
         "overflow": int(np.sum(np.asarray(res.n_cut_overflow))),
+        "shape": args.shape,
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

@@ -294,6 +294,60 @@ def _structured_topology(params: MeshInitParams, kind: str) -> Mesh:
     )
 
 
+def structured_topology_device(Nx: int, Ny: int):
+    """(cell_ptids, cell_npts, cell_faces, face_ptids, face_bnd) of the
+    generated Nx x Ny grid as DEVICE int32 arrays (identical values to
+    _structured_topology — tested). Shapes are static; everything is
+    iota arithmetic, so under jit this fuses to nearly nothing. Points
+    are NOT generated here: the classification runs on the host and its
+    (displaced) f32 points are shipped, keeping device geometry
+    bit-identical to what was classified."""
+    W = Nx + 1
+    i = jnp.arange(W, dtype=jnp.int32)
+    j = jnp.arange(Ny + 1, dtype=jnp.int32)
+
+    def f_H(jj, ii):
+        return jnp.where(jj < Ny, jj * (2 * Nx + 1) + 2 * ii,
+                         Ny * (2 * Nx + 1) + ii)
+
+    def f_V(jj, ii):
+        return jj * (2 * Nx + 1) + 2 * ii + (ii < Nx)
+
+    cj, ci = jnp.meshgrid(jnp.arange(Ny, dtype=jnp.int32),
+                          jnp.arange(Nx, dtype=jnp.int32), indexing="ij")
+    ci, cj = ci.ravel(), cj.ravel()
+    pt0 = cj * W + ci
+    cell_ptids = jnp.stack([pt0, pt0 + 1, pt0 + W + 1, pt0 + W], axis=1)
+    cell_faces = jnp.stack([f_H(cj, ci), f_V(cj, ci + 1),
+                            f_H(cj + 1, ci), f_V(cj, ci)], axis=1)
+
+    F = (Ny + 1) * Nx + Ny * W
+    face_ptids = jnp.zeros((F, 2), dtype=jnp.int32)
+    face_bnd = jnp.zeros((F,), dtype=jnp.int8)
+    hj, hi_ = jnp.meshgrid(jnp.arange(Ny + 1, dtype=jnp.int32),
+                           jnp.arange(Nx, dtype=jnp.int32), indexing="ij")
+    hj, hi_ = hj.ravel(), hi_.ravel()
+    hidx = f_H(hj, hi_)
+    hp = hj * W + hi_
+    face_ptids = face_ptids.at[hidx, 0].set(hp).at[hidx, 1].set(hp + 1)
+    face_bnd = face_bnd.at[hidx].set(
+        jnp.where((hj == 0) | (hj == Ny), BND_DIRICHLET,
+                  BND_NONE).astype(jnp.int8))
+    vj, vi = jnp.meshgrid(jnp.arange(Ny, dtype=jnp.int32),
+                          jnp.arange(W, dtype=jnp.int32), indexing="ij")
+    vj, vi = vj.ravel(), vi.ravel()
+    vidx = f_V(vj, vi)
+    vp = vj * W + vi
+    face_ptids = face_ptids.at[vidx, 0].set(vp).at[vidx, 1].set(vp + W)
+    face_bnd = face_bnd.at[vidx].set(
+        jnp.where((vi == 0) | (vi == Nx), BND_DIRICHLET,
+                  BND_NONE).astype(jnp.int8))
+
+    C = Nx * Ny
+    cell_npts = jnp.full((C,), 4, dtype=jnp.int32)
+    return cell_ptids, cell_npts, cell_faces, face_ptids, face_bnd
+
+
 def make_quad_mesh(params: Optional[MeshInitParams] = None, **kw) -> Mesh:
     """Structured quad mesh of an axis-aligned box (mesh_impl<T,4>,
     basic_mesh.hpp:230-298). Cells come out in the reference's sorted order

@@ -73,17 +73,26 @@ def padded_cut_ids(cell_loc, capacity: int):
     return ids, valid, n_cut, jnp.maximum(n_cut - capacity, 0)
 
 
-def _solve_one_geometry(mesh, dofmap, sys_f, radius, cx, cy, *,
-                        hdi: HHODegreeInfo,
+def circle_family(params) -> FictdomProblem:
+    """params = (radius, cx, cy) -> the reference's circle fictdom
+    problem (works on tracers, so it vmaps)."""
+    radius, cx, cy = params
+    return default_problem(radius, (cx, cy))
+
+
+def _solve_one_geometry(mesh, dofmap, sys_f, params, *,
+                        family, hdi: HHODegreeInfo,
                         eta: float, capacity: int, int_refsteps: int,
                         chunk: int, cg_params: cg.CGParams,
                         side: int = LOC_NEG):
     """One geometry of the family, fully traced (no host syncs): the
     fictdom pipeline of cut/fictdom_structured.py with the padded cut
-    class. Returns the FamilyResult row."""
+    class. ``family(params) -> FictdomProblem`` is any traced-parameter
+    level-set family (circles, ellipses, flowers, ... — the pipeline is
+    shape-generic). Returns the FamilyResult row."""
     from ..methods import poisson
 
-    problem = default_problem(radius, (cx, cy))
+    problem = family(params)
     C = mesh.num_cells
     cbs = bases.cell_basis_size(hdi.cell_degree)
 
@@ -129,25 +138,28 @@ def _solve_one_geometry(mesh, dofmap, sys_f, radius, cx, cy, *,
                         res.rel_residual, n_cut, n_over, n_bad, concave)
 
 
-def solve_fictdom_family(N: int, degree: int, radii, centers,
-                         capacity: Optional[int] = None,
-                         int_refsteps: int = 4, chunk: int = 16384,
-                         geom_chunk: Optional[int] = None,
-                         cg_params: Optional[cg.CGParams] = None
-                         ) -> FamilyResult:
-    """Solve the fictdom Poisson problem for a FAMILY of circle level
-    sets (radii [B], centers [B, 2]) on the shared N x N mesh in one
-    compiled program: ``vmap`` over geometries, optionally tiled by
-    ``geom_chunk`` via lax.map so only that many geometries' assembly
-    intermediates are live at once.
+def solve_fictdom_family_params(N: int, degree: int, params, family,
+                                capacity: Optional[int] = None,
+                                int_refsteps: int = 4,
+                                chunk: int = 16384,
+                                geom_chunk: Optional[int] = None,
+                                cg_params: Optional[cg.CGParams] = None
+                                ) -> FamilyResult:
+    """Solve the fictdom Poisson problem for a FAMILY of level-set
+    geometries on the shared N x N mesh in one compiled program:
+    ``params`` is any pytree with the geometry batch on the leading
+    axis of every leaf, ``family(one_param_row) -> FictdomProblem``
+    builds the problem from traced parameters (see circle_family).
+    ``vmap`` over geometries, optionally tiled by ``geom_chunk`` via
+    lax.map so only that many geometries' assembly intermediates are
+    live at once.
 
     The per-geometry solve is the same discretization as
     solve_fictdom_structured(mixed=False) with Jacobi-PCG (the
     reference's preconditioner); results match the unbatched path
     geometry-by-geometry (tests assert it)."""
-    radii = jnp.asarray(radii)
-    centers = jnp.asarray(centers)
-    B = radii.shape[0]
+    params = jax.tree.map(jnp.asarray, params)
+    B = jax.tree.leaves(params)[0].shape[0]
     if capacity is None:
         capacity = 6 * N
     if cg_params is None:
@@ -160,7 +172,8 @@ def solve_fictdom_family(N: int, degree: int, radii, centers,
     mesh = make_poly_mesh(Nx=N, Ny=N)
     dofmap = assembly.build_dofmap(mesh, hdi)
 
-    one = functools.partial(_solve_one_geometry, hdi=hdi, eta=eta,
+    one = functools.partial(_solve_one_geometry, family=family, hdi=hdi,
+                            eta=eta,
                             capacity=capacity, int_refsteps=int_refsteps,
                             chunk=chunk, cg_params=cg_params)
 
@@ -170,18 +183,43 @@ def solve_fictdom_family(N: int, degree: int, radii, centers,
     # rebuilt inside (its Nx/Ny/fbs ints must stay static; the freeH/freeV
     # masks are cheap iota arithmetic).
     @jax.jit
-    def run(mesh, dofmap, radii, centers):
+    def run(mesh, dofmap, params):
         sys_f = structured.make_structured_system(N, N, dofmap.fbs)
-        fn = jax.vmap(lambda r, c: one(mesh, dofmap, sys_f, r, c[0], c[1]))
+        fn = jax.vmap(lambda pr: one(mesh, dofmap, sys_f, pr))
         if geom_chunk is None or geom_chunk >= B:
-            return fn(radii, centers)
+            return fn(params)
         nb = -(-B // geom_chunk)
         pad = nb * geom_chunk - B
-        rp = jnp.concatenate([radii, jnp.repeat(radii[-1:], pad, 0)])
-        cp = jnp.concatenate([centers, jnp.repeat(centers[-1:], pad, 0)])
-        out = jax.lax.map(
-            lambda rc: fn(*rc),
-            (rp.reshape(nb, geom_chunk), cp.reshape(nb, geom_chunk, 2)))
-        return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:B], out)
 
-    return run(mesh, dofmap, radii, centers)
+        def tile(a):
+            ap = jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)])
+            return ap.reshape(nb, geom_chunk, *a.shape[1:])
+
+        out = jax.lax.map(fn, jax.tree.map(tile, params))
+        return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:B],
+                            out)
+
+    return run(mesh, dofmap, params)
+
+
+def solve_fictdom_family(N: int, degree: int, radii, centers,
+                         **kw) -> FamilyResult:
+    """Circle-family convenience wrapper over
+    solve_fictdom_family_params (the reference's geometry,
+    cuthho_square.cpp:2030-2031)."""
+    radii = jnp.asarray(radii)
+    centers = jnp.asarray(centers)
+    return solve_fictdom_family_params(
+        N, degree, (radii, centers[:, 0], centers[:, 1]),
+        circle_family, **kw)
+
+
+def ellipse_family(params) -> FictdomProblem:
+    """params = (a, b, cx, cy) -> fictdom problem on an ellipse level
+    set with the reference's manufactured solution."""
+    from .levelset import ellipse_level_set
+
+    a, b, cx, cy = params
+    base = default_problem()
+    return FictdomProblem(ellipse_level_set(a, b, cx, cy),
+                          base.rhs_fun, base.sol_fun, base.sol_grad)

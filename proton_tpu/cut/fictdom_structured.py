@@ -293,6 +293,99 @@ def _assemble_level_cl_f64(mesh, geom, cell_loc, batch, hdi: HHODegreeInfo,
     return cells_last.set_cells(cond, batch.ids, sub)
 
 
+@functools.partial(jax.jit, static_argnames=("hdi", "problem", "side",
+                                             "chunk"))
+def _rhs_f64_chunked(mesh, cell_loc, hdi: HHODegreeInfo,
+                     problem: FictdomProblem, side: int = LOC_NEG,
+                     chunk: int = 65536):
+    """[C, cbs] FLOAT64 fitted rhs moments from the f32 mesh, blockwise
+    upcast (the rhs-only sibling of _assemble_level_cl_f64 — the f64
+    uniform system needs no per-cell f64 operators, only f64 moments).
+    Cut cells are overwritten by the f64 cut batch splice downstream."""
+    import dataclasses as _dc
+
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    C = mesh.num_cells
+    bs = min(chunk, C)
+    nb = -(-C // bs)
+    Cpad = nb * bs
+
+    def pad(a):
+        if Cpad == C:
+            return a
+        return jnp.concatenate(
+            [a, jnp.repeat(a[-1:], Cpad - C, axis=0)], axis=0)
+
+    points64 = mesh.points.astype(jnp.float64)
+    blocks = (pad(mesh.cell_ptids).reshape(nb, bs, -1),
+              pad(mesh.cell_npts).reshape(nb, bs),
+              pad(mesh.cell_faces).reshape(nb, bs, -1),
+              pad(cell_loc == side).reshape(nb, bs))
+
+    def body(xs):
+        cp, cn, cf, on_side = xs
+        sub = _dc.replace(mesh, points=points64, cell_ptids=cp,
+                          cell_npts=cn, cell_faces=cf)
+        g64 = cell_geometry(sub)
+        f = cell_rhs(sub, g64, hdi.cell_degree, problem.rhs_fun)
+        return jnp.where(on_side[:, None], f, 0.0)
+
+    f = jax.lax.map(body, blocks)
+    return f.reshape(-1, cbs)[:C]
+
+
+@functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
+                                             "with_rhs", "side"))
+def _assemble_level_uniform64(mesh, cell_loc, batch, dist_ids, unit,
+                              hdi: HHODegreeInfo,
+                              problem: FictdomProblem, eta: float,
+                              with_rhs: bool, side: int = LOC_NEG):
+    """FLOAT64 uniform-mode assembly on a TPU-resident f32 mesh: the
+    broadcast blocks are the exact f64 unit-cell operators (``unit``
+    f64 arrays from _unit_cell_host), the rhs moments are blockwise-
+    upcast f64 (_rhs_f64_chunked), and the distorted + cut classes are
+    upcast on their gathered batches only. No full-mesh f64 geometry
+    ever materializes (the [C, 4, 2] f64 tile padding OOMs at 1024^2,
+    CLAUDE.md) — this is what makes the f64 accurate mode run at bench
+    scale."""
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    C = mesh.num_cells
+    S_u, X_u, ATT_u, ATF_u = unit
+    nfd = S_u.shape[0]
+
+    if with_rhs:
+        f = _rhs_f64_chunked(mesh, cell_loc, hdi, problem, side)
+    else:
+        f = jnp.zeros((C, cbs), jnp.float64)
+    fT = f.T
+    bF = -(X_u.T @ fT)
+    cond = cells_last.CondensedCL(
+        jnp.broadcast_to(S_u.reshape(nfd * nfd, 1), (nfd * nfd, C)),
+        bF,
+        jnp.broadcast_to(ATT_u.reshape(cbs * cbs, 1), (cbs * cbs, C)),
+        jnp.broadcast_to(ATF_u.reshape(cbs * nfd, 1), (cbs * nfd, C)),
+        fT)
+
+    if dist_ids.shape[0] > 0:
+        import dataclasses as _dc
+        ids = jnp.asarray(dist_ids, dtype=jnp.int32)
+        sub64 = _dc.replace(mesh, points=mesh.points.astype(jnp.float64),
+                            cell_ptids=mesh.cell_ptids[ids],
+                            cell_npts=mesh.cell_npts[ids],
+                            cell_faces=mesh.cell_faces[ids])
+        g64 = cell_geometry(sub64)
+        _, lc_d = poisson.assemble_local(sub64, g64, hdi, "naive")
+        d = lc_d.shape[1]
+        sub_cond = cells_last.condense_cl(
+            jnp.transpose(lc_d, (1, 2, 0)).reshape(d * d, -1),
+            fT[:, dist_ids], cbs)
+        cond = cells_last.set_cells(cond, dist_ids, sub_cond)
+
+    sub = _cut64_impl(batch, hdi=hdi, problem=problem, eta=eta,
+                      with_rhs=with_rhs, side=side, keep_f64=True)
+    return cells_last.set_cells(cond, batch.ids, sub)
+
+
 @functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
                                              "with_rhs", "side",
                                              "keep_f64"))
@@ -484,13 +577,92 @@ def _classify_host(N: int, hdi, problem, int_refsteps: int, mixed: bool):
                                                     cutdata, cut_ids)
     dist_ids = np.nonzero(np.asarray(cutdata.distorted))[0]
     if on_host:
+        from ..core.mesh import structured_topology_device
         dev = jax.devices()[0]
-        mesh = jax.device_put(mesh, dev)
+        # topology regenerates on device (iota arithmetic, one jit);
+        # only the classified/displaced points, cell_loc and the O(N)
+        # cut batch are shipped
+        topo = jax.jit(structured_topology_device,
+                       static_argnums=(0, 1))(N, N)
+        mesh = dataclasses.replace(
+            mesh, points=jax.device_put(mesh.points, dev),
+            cell_ptids=topo[0], cell_npts=topo[1], cell_faces=topo[2],
+            face_ptids=topo[3], face_bnd=topo[4])
         batch = jax.device_put(batch, dev)
         cell_loc = jax.device_put(cutdata.cell_loc, dev)
     else:
         cell_loc = cutdata.cell_loc
     return mesh, cutdata, cut_ids, cell_loc, batch, dist_ids
+
+
+def _set_cells_lean(ucond, S_u_cl, irr_ids, ids, sub):
+    """Overwrite the ``ids`` cells of a lean uniform system with a small
+    condensed batch (CondensedCL columns). ids must be a sorted subset
+    of irr_ids."""
+    pos = jnp.searchsorted(jnp.asarray(irr_ids), jnp.asarray(ids))
+    return cells_last.UniformCondCL(
+        cells_last.set_columns(ucond.dS, pos, sub.S - S_u_cl),
+        cells_last.set_columns(ucond.bF, ids, sub.bF),
+        cells_last.set_columns(ucond.fT, ids, sub.fT),
+        cells_last.set_columns(ucond.ATT_i, pos, sub.ATT),
+        cells_last.set_columns(ucond.ATF_i, pos, sub.ATF))
+
+
+@functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
+                                             "with_rhs", "side"))
+def _assemble_level_uniform_lean(mesh, geom, cell_loc, batch, dist_ids,
+                                 irr_ids, unit, hdi: HHODegreeInfo,
+                                 problem: FictdomProblem, eta: float,
+                                 with_rhs: bool, side: int = LOC_NEG):
+    """Lean-uniform fictdom assembly: same math as
+    _assemble_level_uniform but the result is a UniformCondCL — the
+    O(N^2) broadcasts never materialize (required at 4096^2 where the
+    dense planes exceed device memory, and ~4x less HBM traffic at any
+    size). ``irr_ids`` = union(dist_ids, cut ids), sorted."""
+    dtype = mesh.points.dtype
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    C = mesh.num_cells
+    S_u, X_u, ATT_u, ATF_u = unit
+    nfd = S_u.shape[0]
+    Ci = irr_ids.shape[0]
+    S_u_cl = S_u.reshape(nfd * nfd, 1)
+
+    if with_rhs:
+        f_std = cell_rhs(mesh, geom, hdi.cell_degree, problem.rhs_fun)
+        f = jnp.where((cell_loc == side)[:, None], f_std, 0.0)
+    else:
+        f = jnp.zeros((C, cbs), dtype)
+    fT = f.T
+    bF = -_einsum("ij,ic->jc", X_u, fT)
+    ucond = cells_last.UniformCondCL(
+        jnp.zeros((nfd * nfd, Ci), dtype), bF, fT,
+        jnp.broadcast_to(ATT_u.reshape(cbs * cbs, 1), (cbs * cbs, Ci)),
+        jnp.broadcast_to(ATF_u.reshape(cbs * nfd, 1), (cbs * nfd, Ci)))
+
+    if dist_ids.shape[0] > 0:
+        sub, gsub = _gather_cells(mesh, geom, dist_ids)
+        _, lc_d = poisson.assemble_local(sub, gsub, hdi, "naive")
+        d = lc_d.shape[1]
+        cond_d = cells_last.condense_cl(
+            jnp.transpose(lc_d, (1, 2, 0)).reshape(d * d, -1),
+            fT[:, dist_ids], cbs)
+        ucond = _set_cells_lean(ucond, S_u_cl, irr_ids, dist_ids, cond_d)
+
+    _, data_cut = cut_methods.cut_hho_laplacian(batch, problem.ls, hdi,
+                                                side, eta=eta)
+    stab_cut = cut_methods.cut_stabilization(batch, hdi, side)
+    lc_cut = data_cut + stab_cut
+    d = lc_cut.shape[1]
+    if with_rhs:
+        f_cut = cut_methods.cut_rhs(batch, hdi.cell_degree,
+                                    problem.rhs_fun, problem.ls,
+                                    problem.sol_fun, side, eta=eta)
+    else:
+        f_cut = jnp.zeros((lc_cut.shape[0], cbs), dtype)
+    cut_cond = cells_last.condense_cl(
+        jnp.transpose(lc_cut, (1, 2, 0)).reshape(d * d, -1),
+        f_cut.T, cbs)
+    return _set_cells_lean(ucond, S_u_cl, irr_ids, batch.ids, cut_cond)
 
 
 def build_level(N: int, hdi: HHODegreeInfo, problem: FictdomProblem,
@@ -525,16 +697,30 @@ def build_level(N: int, hdi: HHODegreeInfo, problem: FictdomProblem,
         N, hdi, problem, int_refsteps, mixed)
     geom = jax.jit(cell_geometry)(mesh)
     S_u = irr_ids = None
-    if fitted == "uniform":
+    if fitted in ("uniform", "lean"):
         dtype = mesh.points.dtype
         unit_host = _unit_cell_host(hdi, 1.0 / N)
         unit = tuple(jnp.asarray(a, dtype) for a in unit_host)
-        cond = _assemble_level_uniform(mesh, geom, cell_loc, batch,
-                                       jnp.asarray(dist_ids,
-                                                   dtype=jnp.int32),
-                                       unit, hdi, problem, eta, with_rhs)
         S_u = np.asarray(unit_host[0], np.float64)
         irr_ids = np.union1d(dist_ids, np.asarray(cut_ids))
+        dist_d = jnp.asarray(dist_ids, dtype=jnp.int32)
+        if fitted == "lean":
+            cond = _assemble_level_uniform_lean(
+                mesh, geom, cell_loc, batch, dist_d,
+                jnp.asarray(irr_ids, dtype=jnp.int32), unit, hdi,
+                problem, eta, with_rhs)
+            if mixed:
+                sub = _cut64_condensed(batch, hdi, problem, eta,
+                                       with_rhs)
+                cond = _set_cells_lean(
+                    cond, unit[0].reshape(-1, 1),
+                    jnp.asarray(irr_ids, dtype=jnp.int32),
+                    jnp.asarray(cut_ids, dtype=jnp.int32), sub)
+            return LevelData(mesh, cutdata, cut_ids, cond, S_u,
+                             irr_ids, batch, cell_loc)
+        cond = _assemble_level_uniform(mesh, geom, cell_loc, batch,
+                                       dist_d,
+                                       unit, hdi, problem, eta, with_rhs)
     else:
         cond = _assemble_level_cl(mesh, geom, cell_loc, batch, hdi,
                                   problem, eta, use_pallas, with_rhs)
@@ -583,7 +769,8 @@ def solve_fictdom_structured(
         int_refsteps: int = 4, precond: str = "mg",
         mixed: Optional[bool] = None, use_pallas: Optional[bool] = None,
         cg_params: Optional[cg.CGParams] = None, mg_coarsest: int = 8,
-        n_smooth: int = 1, patch_ring: int = 1, mg_f32: bool = False,
+        n_smooth: int = 1, patch_ring: int = 1, patch_colors: int = 1,
+        mg_f32: bool = False,
         mg_smoother: str = "chebyshev", cheb_degree: int = 4,
         cg_f64: Optional[bool] = None, cg_segment: int = 0,
         compute_h1: bool = True, fitted: str = "uniform",
@@ -629,18 +816,20 @@ def solve_fictdom_structured(
     t0 = time.perf_counter()
     fine = build_level(N, hdi, problem, eta, int_refsteps, mixed,
                        use_pallas, with_rhs=True, fitted=fitted)
-    jax.block_until_ready(fine.cond.S)
+    _S = lambda lev: (lev.cond.dS if isinstance(
+        lev.cond, cells_last.UniformCondCL) else lev.cond.S)
+    jax.block_until_ready(_S(fine))
     timings["assemble_fine_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     levels = {N: fine}
-    S_levels, cut_levels = {N: fine.cond.S}, {N: fine.cut_ids}
+    S_levels, cut_levels = {N: _S(fine)}, {N: fine.cut_ids}
     if precond == "mg":
         for n in _mg_sizes(N, mg_coarsest)[1:]:
             lev = build_level(n, hdi, problem, eta, int_refsteps, mixed,
                               use_pallas, with_rhs=False, fitted=fitted)
             levels[n] = lev
-            S_levels[n] = lev.cond.S
+            S_levels[n] = _S(lev)
             cut_levels[n] = lev.cut_ids
     jax.block_until_ready(S_levels[min(S_levels)])
     timings["assemble_coarse_s"] = time.perf_counter() - t0
@@ -656,6 +845,7 @@ def solve_fictdom_structured(
             for n in sizes),
         mg_coarsest=mg_coarsest, n_smooth=n_smooth, mg_f32=mg_f32,
         mg_smoother=mg_smoother, cheb_degree=cheb_degree,
+        patch_colors=patch_colors,
         uniform_levels=uniform_static(levels),
         cg_f64=(jax.config.jax_enable_x64 and not mg_f32 and
                 not cg_segment
@@ -714,9 +904,10 @@ def uniform_static(levels: dict):
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi",
                                              "cut_levels", "mg_coarsest",
                                              "cheb_degree",
+                                             "patch_colors",
                                              "uniform_levels"))
 def _mg_setup_jit(S_list, *, sizes, hdi, cut_levels, mg_coarsest,
-                  cheb_degree, uniform_levels=None):
+                  cheb_degree, patch_colors=1, uniform_levels=None):
     S_levels = dict(zip(sizes, S_list))
     cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
     fbs = bases.face_basis_size(hdi.face_degree)
@@ -724,12 +915,15 @@ def _mg_setup_jit(S_list, *, sizes, hdi, cut_levels, mg_coarsest,
                                  coarsest=mg_coarsest,
                                  cut_ids_per_level=cuts,
                                  cheb_degree=cheb_degree,
+                                 patch_colors=patch_colors,
                                  uniform_per_level=_uniform_unpack(
                                      uniform_levels))
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem"))
-def _rhs_jit(mesh, dofmap, cond, *, sizes, hdi, problem):
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem",
+                                             "uniform_levels"))
+def _rhs_jit(mesh, dofmap, cond, *, sizes, hdi, problem,
+             uniform_levels=None):
     N = max(sizes)
     fbs = bases.face_basis_size(hdi.face_degree)
     cbs = bases.cell_basis_size(hdi.cell_degree)
@@ -737,26 +931,32 @@ def _rhs_jit(mesh, dofmap, cond, *, sizes, hdi, problem):
     fd = assembly.dirichlet_face_data(mesh, hdi, problem.sol_fun)
     g_loc = assembly.local_dirichlet_data(dofmap, mesh, fd)
     gF_cl = g_loc[:, cbs:].T
-    rhs = cells_last.structured_rhs_cl(sys_f, cond, gF_cl)
+    if isinstance(cond, cells_last.UniformCondCL):
+        uni = _uniform_unpack(uniform_levels)
+        S_u, irr = uni[N]
+        rhs = cells_last.uniform_rhs_cl(sys_f, cond, S_u, irr, gF_cl)
+    else:
+        rhs = cells_last.structured_rhs_cl(sys_f, cond, gF_cl)
     return rhs, gF_cl
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi",
                                              "cut_levels", "mg_coarsest",
                                              "n_smooth", "cheb_degree",
-                                             "cg_params",
+                                             "patch_colors", "cg_params",
                                              "uniform_levels"))
 def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
                 cut_levels, mg_coarsest, n_smooth, cheb_degree,
-                cg_params, uniform_levels=None):
+                cg_params, patch_colors=1, uniform_levels=None):
     N = max(sizes)
     fbs = bases.face_basis_size(hdi.face_degree)
     sys_f = structured.make_structured_system(N, N, fbs)
     uni = _uniform_unpack(uniform_levels)
     if uni is not None and N in uni:
         S_u, irr = uni[N]
-        dS = cells_last.uniform_deltas(S_fine,
-                                       S_u.astype(S_fine.dtype), irr)
+        lean_in = S_fine.shape[1] == len(irr) and len(irr) != N * N
+        dS = S_fine if lean_in else cells_last.uniform_deltas(
+            S_fine, S_u.astype(S_fine.dtype), irr)
         apply_S = cells_last.make_uniform_operator_cl(
             sys_f, S_u.astype(S_fine.dtype), irr, dS)
     else:
@@ -765,7 +965,8 @@ def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
     precond = functools.partial(
         multigrid.mg_precondition_cl, mgdata, N=N, fbs=fbs,
         cut_ids_per_level=cuts, coarsest=mg_coarsest,
-        n_smooth=n_smooth, cheb_degree=cheb_degree, hdi=hdi,
+        n_smooth=n_smooth, cheb_degree=cheb_degree,
+        patch_colors=patch_colors, hdi=hdi,
         uniform_per_level=uni)
     res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
                                  precond=precond, x0=x0, nr0=nr0)
@@ -775,11 +976,19 @@ def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
         nr0_out
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "hdi"))
-def _recover_jit(cond, x, gF_cl, *, sizes, hdi):
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi",
+                                             "uniform_levels"))
+def _recover_jit(cond, x, gF_cl, *, sizes, hdi, uniform_levels=None):
     N = max(sizes)
     fbs = bases.face_basis_size(hdi.face_degree)
     sys_f = structured.make_structured_system(N, N, fbs)
+    if isinstance(cond, cells_last.UniformCondCL):
+        uni = _uniform_unpack(uniform_levels)
+        S_u, irr = uni[N]
+        x = jax.tree.map(lambda a: a.astype(cond.dS.dtype), x)
+        unit = _unit_cell_host(hdi, 1.0 / N)
+        return cells_last.uniform_recover_cl(sys_f, cond, unit[1],
+                                             unit[2], irr, x, gF_cl)
     x = jax.tree.map(lambda a: a.astype(cond.S.dtype), x)
     return cells_last.solve_recover_cl(sys_f, cond, x, gF_cl)
 
@@ -815,22 +1024,27 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
     stat = dict(sizes=sizes, hdi=hdi, cut_levels=kw["cut_levels"],
                 mg_coarsest=kw["mg_coarsest"],
                 cheb_degree=kw.get("cheb_degree", 4),
+                patch_colors=kw.get("patch_colors", 1),
                 uniform_levels=kw.get("uniform_levels"))
     mgdata = _mg_setup_jit(S_list, **stat)
     rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
-                          problem=kw["problem"])
+                          problem=kw["problem"],
+                          uniform_levels=stat["uniform_levels"])
+    S_fine = (cond.dS if isinstance(cond, cells_last.UniformCondCL)
+              else cond.S)
     x = nr0 = None
     total = 0
     while True:
         x, it, ex, rel, nr0 = _cg_seg_jit(
-            cond.S, mgdata, rhs, x, nr0,
+            S_fine, mgdata, rhs, x, nr0,
             n_smooth=kw.get("n_smooth", 1), cg_params=seg_params, **stat)
         total += int(it)
         ex = int(ex)
         if ex in (cg.CONVERGED, cg.DIVERGED) or \
                 total >= cg_params.max_iter:
             break
-    local = _recover_jit(cond, x, gF_cl, sizes=sizes, hdi=hdi)
+    local = _recover_jit(cond, x, gF_cl, sizes=sizes, hdi=hdi,
+                         uniform_levels=stat["uniform_levels"])
     return local, jnp.int32(total), jnp.int32(ex), rel
 
 
@@ -839,13 +1053,13 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
                                              "mg_coarsest", "n_smooth",
                                              "mg_f32", "mg_smoother",
                                              "cheb_degree", "cg_f64",
-                                             "cg_params",
+                                             "patch_colors", "cg_params",
                                              "uniform_levels"))
 def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
                hdi, problem,
                precond, cut_levels, mg_coarsest, n_smooth, cg_params,
                mg_f32=False, mg_smoother="chebyshev", cheb_degree=4,
-               cg_f64=False, uniform_levels=None):
+               cg_f64=False, patch_colors=1, uniform_levels=None):
     """One compiled graph: Dirichlet fold, MG build (all setup math is
     traced), PCG, cell recovery. S_list: S_cl arrays matching the static
     ``sizes`` (ascending); the largest is the fine level.
@@ -866,18 +1080,32 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
     g_loc = assembly.local_dirichlet_data(dofmap, mesh, fd)
     gF_cl = g_loc[:, cbs:].T
 
-    rhs = cells_last.structured_rhs_cl(sys_f, cond, gF_cl)
+    lean = isinstance(cond, cells_last.UniformCondCL)
     uni = _uniform_unpack(uniform_levels)
-    if uni is not None and N in uni:
+    if lean:
+        if precond not in ("mg", "block_jacobi"):
+            raise ValueError("lean uniform systems support mg/bj only")
+        assert uni is not None and N in uni, "lean needs uniform_levels"
         S_u, irr = uni[N]
-        dS = cells_last.uniform_deltas(cond.S,
-                                       S_u.astype(cond.S.dtype), irr)
+        dt = cond.dS.dtype
+        rhs = cells_last.uniform_rhs_cl(sys_f, cond, S_u, irr, gF_cl)
         apply_S = cells_last.make_uniform_operator_cl(
-            sys_f, S_u.astype(cond.S.dtype), irr, dS)
+            sys_f, S_u.astype(dt), irr, cond.dS)
+        Sdt = cond.dS.dtype
     else:
-        apply_S = cells_last.make_structured_operator_cl(sys_f, cond.S)
+        rhs = cells_last.structured_rhs_cl(sys_f, cond, gF_cl)
+        Sdt = cond.S.dtype
+        if uni is not None and N in uni:
+            S_u, irr = uni[N]
+            dS = cells_last.uniform_deltas(cond.S,
+                                           S_u.astype(cond.S.dtype), irr)
+            apply_S = cells_last.make_uniform_operator_cl(
+                sys_f, S_u.astype(cond.S.dtype), irr, dS)
+        else:
+            apply_S = cells_last.make_structured_operator_cl(sys_f,
+                                                             cond.S)
 
-    if cg_f64 and cond.S.dtype == jnp.float32:
+    if cg_f64 and Sdt == jnp.float32:
         # mixed-precision CG: f64 recurrences (x, r, d, dots) around the
         # f32 matvec/preconditioner. Plain f32 CG stagnates on the
         # cond ~ N^2 condensed system (measured: 651 iters at 1024^2
@@ -911,10 +1139,11 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
         mg = multigrid.build_multigrid(
             N, fbs, mg_S, hdi=hdi, coarsest=mg_coarsest,
             n_smooth=n_smooth, cut_ids_per_level=cuts,
-            smoother=mg_smoother, cheb_degree=cheb_degree, layout="cl",
+            smoother=mg_smoother, cheb_degree=cheb_degree,
+            patch_colors=patch_colors, layout="cl",
             uniform_per_level=uni)
-        if mg_f32 and cond.S.dtype != jnp.float32:
-            dt = cond.S.dtype
+        if mg_f32 and Sdt != jnp.float32:
+            dt = Sdt
 
             def precondition(r, _mg=mg, _dt=dt):
                 r32 = jax.tree.map(lambda a: a.astype(jnp.float32), r)
@@ -939,8 +1168,13 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
 
     nr0_out = jnp.sqrt(sum(jnp.vdot(l, l).real for l in
                            jax.tree.leaves(rhs))) if nr0 is None else nr0
-    x = jax.tree.map(lambda a: a.astype(cond.S.dtype), res.x)
-    local = cells_last.solve_recover_cl(sys_f, cond, x, gF_cl)
+    x = jax.tree.map(lambda a: a.astype(Sdt), res.x)
+    if lean:
+        unit = _unit_cell_host(hdi, 1.0 / N)
+        local = cells_last.uniform_recover_cl(
+            sys_f, cond, unit[1], unit[2], irr, x, gF_cl)
+    else:
+        local = cells_last.solve_recover_cl(sys_f, cond, x, gF_cl)
     return (local, res.x, res.iterations, res.exit_reason,
             res.rel_residual, nr0_out)
 

@@ -69,3 +69,35 @@ def line_level_set(cut_y: float) -> LevelSet:
         return g.at[..., 1].set(1.0)
 
     return LevelSet(fn, grad_fn)
+
+
+def ellipse_level_set(a: float, b: float, alpha: float,
+                      beta: float) -> LevelSet:
+    """((x-alpha)/a)^2 + ((y-beta)/b)^2 - 1: negative inside. Works with
+    traced parameters (geometry families, cut/batched.py)."""
+
+    def fn(pts):
+        x = (pts[..., 0] - alpha) / a
+        y = (pts[..., 1] - beta) / b
+        return x * x + y * y - 1.0
+
+    def grad_fn(pts):
+        return jnp.stack([2.0 * (pts[..., 0] - alpha) / (a * a),
+                          2.0 * (pts[..., 1] - beta) / (b * b)], axis=-1)
+
+    return LevelSet(fn, grad_fn)
+
+
+def flower_level_set(r0: float, amp: float, k: int, alpha: float,
+                     beta: float) -> LevelSet:
+    """r - (r0 + amp cos(k theta)): a k-petaled flower, negative inside
+    (a smooth non-convex family exercising general cut geometry)."""
+
+    def fn(pts):
+        x = pts[..., 0] - alpha
+        y = pts[..., 1] - beta
+        r = jnp.sqrt(x * x + y * y)
+        th = jnp.arctan2(y, x)
+        return r - (r0 + amp * jnp.cos(k * th))
+
+    return LevelSet(fn)

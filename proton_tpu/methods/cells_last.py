@@ -373,6 +373,222 @@ def make_uniform_block_jacobi_cl(sys: StructuredFaceSystem, iHu, iVu,
     return precond
 
 
+# ---------------------------------------------------------------------------
+# LEAN uniform condensed system
+#
+# At 4096^2 (k=3) the dense cells-last planes are ~17 GB; the lean form
+# keeps the O(N^2) broadcasts IMPLICIT (static unit-cell blocks) and
+# stores only the O(C) moment vectors plus the O(N) irregular columns.
+# Every setup quantity the solver stack needs (face diagonal blocks,
+# block-Jacobi, patch smoother, rhs fold, recovery) is derived from the
+# dS deviations without ever materializing a [nfd*nfd, C] plane.
+# ---------------------------------------------------------------------------
+
+
+class UniformCondCL(NamedTuple):
+    """Lean uniform condensed system (see section comment). The static
+    half (S_u, X_u, ATT_u, ATF_u unit-cell blocks + the irregular ids)
+    travels OUTSIDE the pytree as host numpy."""
+
+    dS: jnp.ndarray      # [nfd*nfd, Ci]  S deviation at irregular columns
+    bF: jnp.ndarray      # [nfd, C]
+    fT: jnp.ndarray      # [cbs, C]
+    ATT_i: jnp.ndarray   # [cbs*cbs, Ci]  exact blocks at irregular columns
+    ATF_i: jnp.ndarray   # [cbs*nfd, Ci]
+
+
+def _slot_diag_blocks(dS, fbs, slot):
+    """[fbs, fbs, Ci] diagonal slot block of dS [nfd*nfd, Ci]."""
+    nfd = 4 * fbs
+    return jnp.stack([
+        jnp.stack([dS[(slot * fbs + i) * nfd + slot * fbs + j]
+                   for j in range(fbs)]) for i in range(fbs)])
+
+
+def uniform_face_block_deltas(sys: StructuredFaceSystem, dS, irr_ids):
+    """Per-face deviations of the assembled fbs x fbs diagonal blocks
+    against the uniform interior block, computed from the dS columns
+    alone (no [fbs, fbs, Ny+1, Nx] planes): each irregular cell adds its
+    dS diagonal slot block to its 4 faces; frozen (grid-boundary) faces
+    are dropped (identity rows, zero residual). Returns
+    ((hj, hi, dBH [nH, fbs, fbs]), (vj, vi, dBV [nV, fbs, fbs])) with
+    hj/hi/vj/vi static numpy."""
+    fbs, Nx, Ny = sys.fbs, sys.Nx, sys.Ny
+    ids = np.asarray(irr_ids)
+    jj, ii = ids // Nx, ids % Nx
+
+    # H faces: slot b -> (jj, ii), slot t -> (jj+1, ii)
+    hkey = np.concatenate([jj * Nx + ii, (jj + 1) * Nx + ii])
+    hfree = (hkey // Nx != 0) & (hkey // Nx != Ny)
+    hu, hinv = np.unique(hkey[hfree], return_inverse=True)
+    db = jnp.moveaxis(_slot_diag_blocks(dS, fbs, 0), -1, 0)  # [Ci,f,f]
+    dt = jnp.moveaxis(_slot_diag_blocks(dS, fbs, 2), -1, 0)
+    hcontrib = jnp.concatenate([db, dt], axis=0)[
+        jnp.asarray(np.nonzero(hfree)[0])]
+    dBH = jax.ops.segment_sum(hcontrib, jnp.asarray(hinv),
+                              num_segments=max(len(hu), 1))
+
+    # V faces: slot l -> (jj, ii), slot r -> (jj, ii+1)
+    W = Nx + 1
+    vkey = np.concatenate([jj * W + ii, jj * W + ii + 1])
+    vfree = (vkey % W != 0) & (vkey % W != Nx)
+    vu, vinv = np.unique(vkey[vfree], return_inverse=True)
+    dl = jnp.moveaxis(_slot_diag_blocks(dS, fbs, 3), -1, 0)
+    dr = jnp.moveaxis(_slot_diag_blocks(dS, fbs, 1), -1, 0)
+    vcontrib = jnp.concatenate([dl, dr], axis=0)[
+        jnp.asarray(np.nonzero(vfree)[0])]
+    dBV = jax.ops.segment_sum(vcontrib, jnp.asarray(vinv),
+                              num_segments=max(len(vu), 1))
+
+    return ((hu // Nx, hu % Nx, dBH), (vu // W, vu % W, dBV))
+
+
+def uniform_bj_from_deltas(sys: StructuredFaceSystem, S_u, hfaces,
+                           vfaces, dtype):
+    """(corrH, corrV) for make_uniform_block_jacobi_cl from the face
+    block deltas: inv(Bu + dB) - inv(Bu) at each touched free face."""
+    iHu, iVu = uniform_block_jacobi_blocks(sys, S_u)
+    BHu = np.linalg.inv(iHu)
+    BVu = np.linalg.inv(iVu)
+    hj, hi, dBH = hfaces
+    vj, vi, dBV = vfaces
+    dH = jnp.linalg.inv(jnp.asarray(BHu, dtype) + dBH) - \
+        jnp.asarray(iHu, dtype)
+    dV = jnp.linalg.inv(jnp.asarray(BVu, dtype) + dBV) - \
+        jnp.asarray(iVu, dtype)
+    corrH = (jnp.asarray(hj, jnp.int32), jnp.asarray(hi, jnp.int32),
+             jnp.moveaxis(dH, 0, -1))
+    corrV = (jnp.asarray(vj, jnp.int32), jnp.asarray(vi, jnp.int32),
+             jnp.moveaxis(dV, 0, -1))
+    return corrH, corrV
+
+
+def _pick_columns(table_keys, table_vals, keys, default_shape, dtype):
+    """vals at ``keys`` from a sorted static (table_keys -> table_vals)
+    map; zeros where missing. table_vals [n, ...] device; keys static."""
+    keys = np.asarray(keys)
+    if len(table_keys) == 0:
+        return jnp.zeros((len(keys),) + default_shape, dtype)
+    pos = np.clip(np.searchsorted(table_keys, keys), 0,
+                  len(table_keys) - 1)
+    hit = table_keys[pos] == keys
+    vals = table_vals[jnp.asarray(pos)]
+    return jnp.where(jnp.asarray(hit).reshape((-1,) + (1,) * (
+        vals.ndim - 1)), vals, 0)
+
+
+def uniform_patch_setup_lean(sys: StructuredFaceSystem, S_u, dS,
+                             irr_ids, patch_ids, dtype):
+    """cut_patch_setup_cl from the lean data: patch cells' S columns are
+    Su + dS (zero off the irregular set), their face diagonal blocks are
+    Bu + dB from uniform_face_block_deltas. Same outputs (Binv, wH, wV);
+    exact equality with the dense setup on free faces."""
+    fbs, Nx, Ny = sys.fbs, sys.Nx, sys.Ny
+    nfd = 4 * fbs
+    pids = np.asarray(patch_ids)
+    Cc = len(pids)
+    irr = np.asarray(irr_ids)
+    jj, ii = pids // Nx, pids % Nx
+
+    # S columns of the patch cells
+    dS_cols = _pick_columns(irr, jnp.moveaxis(dS, -1, 0), pids,
+                            (nfd * nfd,), dtype)      # [Cc, nfd*nfd]
+    Su = jnp.asarray(np.asarray(S_u), dtype)
+    B = Su[None] + dS_cols.reshape(Cc, nfd, nfd)
+
+    # diagonal slot blocks at the patch cells' faces
+    (hfj, hfi, dBH), (vfj, vfi, dBV) = uniform_face_block_deltas(
+        sys, dS, irr_ids)
+    hkeys, vkeys = hfj * Nx + hfi, vfj * (Nx + 1) + vfi
+    iHu, iVu = uniform_block_jacobi_blocks(sys, S_u)
+    BHu = jnp.asarray(np.linalg.inv(iHu), dtype)
+    BVu = jnp.asarray(np.linalg.inv(iVu), dtype)
+
+    def face_blocks(keys_cell, dB_tab, tab_keys, Bu):
+        dB = _pick_columns(tab_keys, dB_tab, keys_cell, (fbs, fbs),
+                           dtype)
+        return Bu[None] + dB
+
+    sb = jnp.stack([
+        face_blocks(jj * Nx + ii, dBH, hkeys, BHu),          # bottom
+        face_blocks(jj * (Nx + 1) + ii + 1, dBV, vkeys, BVu),  # right
+        face_blocks((jj + 1) * Nx + ii, dBH, hkeys, BHu),    # top
+        face_blocks(jj * (Nx + 1) + ii, dBV, vkeys, BVu),    # left
+    ], axis=1)                                      # [Cc, 4, fbs, fbs]
+
+    B = B.reshape(Cc, 4, fbs, 4, fbs)
+    for s in range(4):
+        B = B.at[:, s, :, s, :].set(sb[:, s])
+    B = B.reshape(Cc, nfd, nfd)
+
+    jjd = jnp.asarray(jj, jnp.int32)
+    iid = jnp.asarray(ii, jnp.int32)
+    free_slot = jnp.stack([sys.freeH[jjd, iid], sys.freeV[jjd, iid + 1],
+                           sys.freeH[jjd + 1, iid],
+                           sys.freeV[jjd, iid]], axis=1)
+    m = jnp.repeat(free_slot, fbs, axis=1).astype(dtype)
+    B = B * (m[:, :, None] * m[:, None, :]) + \
+        jnp.eye(nfd, dtype=dtype) * (1.0 - m)[:, None, :]
+    Binv = jnp.linalg.inv(B)
+
+    C = Nx * Ny
+    mask = jnp.zeros((C,), dtype).at[jnp.asarray(pids)].set(1.0)
+    onesl = jnp.broadcast_to(mask, (nfd, C))
+    mult = grid_scatter_cl(sys, onesl)
+    wH = jnp.where(mult.H > 0, 1.0 / jnp.sqrt(jnp.maximum(mult.H, 1.0)),
+                   0.0)
+    wV = jnp.where(mult.V > 0, 1.0 / jnp.sqrt(jnp.maximum(mult.V, 1.0)),
+                   0.0)
+    return Binv, wH, wV
+
+
+def uniform_rhs_cl(sys: StructuredFaceSystem, ucond: UniformCondCL,
+                   S_u, irr_ids, gF_cl=None) -> GridVecCL:
+    """structured_rhs_cl for the lean system: the S @ gF Dirichlet fold
+    uses the static stencil + dS corrections (scatter-free via
+    set_columns)."""
+    nfd = ucond.bF.shape[0]
+    loads = ucond.bF
+    if gF_cl is not None:
+        Su = np.asarray(S_u)
+        fold = jnp.stack([
+            sum(float(Su[i, j]) * gF_cl[j] for j in range(nfd)
+                if Su[i, j] != 0.0) for i in range(nfd)])
+        loads = loads - fold
+        irr = np.asarray(irr_ids)
+        if len(irr):
+            idx = jnp.asarray(irr)
+            corr = _matvec_rows(ucond.dS, gF_cl[:, idx], nfd, nfd)
+            loads = set_columns(loads, irr, loads[:, idx] - corr)
+    return mask_cl(sys, grid_scatter_cl(sys, loads))
+
+
+def uniform_recover_cl(sys: StructuredFaceSystem, ucond: UniformCondCL,
+                       X_u, ATT_u, irr_ids, x: GridVecCL, gF_cl=None):
+    """solve_recover_cl for the lean system: regular cells back-
+    substitute through the static unit blocks (two stencil matmuls),
+    irregular cells through their exact stored blocks."""
+    cbs = ucond.fT.shape[0]
+    nfd = ucond.bF.shape[0]
+    uF = grid_gather_cl(sys, mask_cl(sys, x))
+    if gF_cl is not None:
+        uF = uF + gF_cl
+    Xu = np.asarray(X_u)
+    Ai = np.linalg.inv(np.asarray(ATT_u))
+    uT = jnp.stack([
+        sum(float(Ai[i, k]) * ucond.fT[k] for k in range(cbs)) -
+        sum(float(Xu[i, j]) * uF[j] for j in range(nfd)
+            if Xu[i, j] != 0.0) for i in range(cbs)])
+    irr = np.asarray(irr_ids)
+    if len(irr):
+        idx = jnp.asarray(irr)
+        sub = CondensedCL(ucond.dS, ucond.bF[:, idx], ucond.ATT_i,
+                          ucond.ATF_i, ucond.fT[:, idx])
+        uT_i = recover_cells_cl(sub, uF[:, idx])
+        uT = set_columns(uT, irr, uT_i)
+    return jnp.concatenate([uT, uF], axis=0).T
+
+
 def structured_diagonal_cl(sys: StructuredFaceSystem, S_cl) -> GridVecCL:
     nfd = 4 * sys.fbs
     dl = jnp.stack([S_cl[i * nfd + i] for i in range(nfd)])
@@ -445,6 +661,26 @@ def block_jacobi_preconditioner_cl(sys: StructuredFaceSystem, S_cl):
         return apply_block_jacobi_cl(iH, iV, r)
 
     return precond
+
+
+def checkerboard_split(ids, Nx: int):
+    """Split cell ids on the Nx-wide grid into (even, odd) checkerboard
+    colors. Same-color cells are never edge-adjacent, so their 4-face
+    patches are face-disjoint: sweeping the colors in sequence turns
+    the additive-Schwarz patch smoother into a multiplicative (colored
+    block Gauss-Seidel) one — exact block solves per color, no
+    1/sqrt(multiplicity) damping."""
+    ids = np.asarray(ids)
+    par = ((ids // Nx) + (ids % Nx)) % 2
+    return ids[par == 0], ids[par == 1]
+
+
+def patch_color_groups(ids, Nx: int, patch_colors: int):
+    """Static per-color id groups for the patch smoother (non-empty
+    only; patch_colors in {1, 2})."""
+    groups = (np.asarray(ids),) if patch_colors == 1 else \
+        checkerboard_split(ids, Nx)
+    return tuple(g for g in groups if len(g) > 0)
 
 
 def cut_patch_setup_cl(sys: StructuredFaceSystem, S_cl, cut_ids):

@@ -424,7 +424,9 @@ class MGDataCL(NamedTuple):
     S: tuple           # per level [nfd*nfd, C_n] — or dS (uniform mode)
     bj: tuple          # per level (iH, iV) planes — or (corrH, corrV)
     lam: tuple         # per level Chebyshev lambda_max (scalar arrays)
-    patch: tuple       # per level (Binv, wH, wV) or () when no cut cells
+    patch: tuple       # per level: tuple of per-color (Binv, wH, wV)
+    #                    triples (1 color = additive Schwarz, 2 colors =
+    #                    checkerboard multiplicative), () w/o cut cells
     transfers: tuple   # per gap (MH, MV) transfer-matrix stencils
     coarse_chol: jnp.ndarray
 
@@ -440,7 +442,7 @@ def _uniform_su(uniform_per_level, n):
 
 def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
                 coarsest: int = 8, cut_ids_per_level=None,
-                cheb_degree: int = 4,
+                cheb_degree: int = 4, patch_colors: int = 1,
                 uniform_per_level=None) -> MGDataCL:
     """Compute every array the Chebyshev-smoothed cells-last V-cycle
     needs (see MGDataCL). Pure function of the S arrays — jit it with
@@ -459,18 +461,26 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
         sys_n = systems[n]
         S_n = S_per_level[n]
         S_u, irr = _uniform_su(uniform_per_level, n)
-        iH, iV = cl.block_jacobi_setup_cl(sys_n, S_n)
         if S_u is not None:
-            S_t.append(cl.uniform_deltas(S_n, S_u.astype(dtype), irr))
-            iHu, iVu = cl.uniform_block_jacobi_blocks(sys_n, S_u)
-            corrH, corrV = cl.uniform_bj_corrections(
-                sys_n, iH, iV, iHu.astype(dtype), iVu.astype(dtype), irr)
+            # S_n may be the full [nfd*nfd, C] planes OR already the
+            # lean dS [nfd*nfd, Ci] deviations (UniformCondCL path)
+            lean_in = S_n.shape[1] == len(irr) and len(irr) != n * n
+            dS = S_n if lean_in else \
+                cl.uniform_deltas(S_n, S_u.astype(dtype), irr)
+            S_t.append(dS)
+            # block-Jacobi corrections from the dS deltas alone — no
+            # full [fbs, fbs, n+1, n] plane inversion
+            hf, vf = cl.uniform_face_block_deltas(sys_n, dS, irr)
+            corrH, corrV = cl.uniform_bj_from_deltas(sys_n, S_u, hf, vf,
+                                                     dtype)
             bj_t.append((corrH, corrV))
+            iHu, iVu = cl.uniform_block_jacobi_blocks(sys_n, S_u)
             apply_S = cl.make_uniform_operator_cl(sys_n, S_u.astype(dtype),
-                                                  irr, S_t[-1])
+                                                  irr, dS)
             base = cl.make_uniform_block_jacobi_cl(
                 sys_n, iHu.astype(dtype), iVu.astype(dtype), corrH, corrV)
         else:
+            iH, iV = cl.block_jacobi_setup_cl(sys_n, S_n)
             S_t.append(S_n)
             bj_t.append((iH, iV))
             apply_S = cl.make_structured_operator_cl(sys_n, S_n)
@@ -481,7 +491,14 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
         ids = None if cut_ids_per_level is None else \
             cut_ids_per_level.get(n, None)
         if ids is not None and len(ids) > 0:
-            patch_t.append(cl.cut_patch_setup_cl(sys_n, S_n, ids))
+            cols = []
+            for g in cl.patch_color_groups(ids, n, patch_colors):
+                if S_u is not None:
+                    cols.append(cl.uniform_patch_setup_lean(
+                        sys_n, S_u, S_t[-1], irr, g, dtype))
+                else:
+                    cols.append(cl.cut_patch_setup_cl(sys_n, S_n, g))
+            patch_t.append(tuple(cols))
         else:
             patch_t.append(())
         if i + 1 < len(sizes):
@@ -515,6 +532,7 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
 def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
                        cut_ids_per_level=None, coarsest: int = 8,
                        n_smooth: int = 1, cheb_degree: int = 4,
+                       patch_colors: int = 1,
                        hdi=None, uniform_per_level=None):
     """Apply the V-cycle from precomputed MGDataCL arrays (the pure-
     function twin of Multigrid.precondition; cut ids are static).
@@ -543,11 +561,11 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
                                          degree=cheb_degree)
         smoothers = (smooth,)
         if data.patch[i]:
-            Binv, wH, wV = data.patch[i]
-            ids = cut_ids_per_level[n]
-            smoothers = (smooth,
-                         partial(cl.apply_cut_patch_cl, sys_n, ids,
-                                 Binv, wH, wV))
+            groups = cl.patch_color_groups(cut_ids_per_level[n], n,
+                                           patch_colors)
+            smoothers = smoothers + tuple(
+                partial(cl.apply_cut_patch_cl, sys_n, g, *blk)
+                for g, blk in zip(groups, data.patch[i]))
         if i + 1 < len(sizes):
             nc = sizes[i + 1]
             prol = make_reconstruction_prolongation_cl(
@@ -642,7 +660,7 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                     omega: float = 0.67, coarsest: int = 8,
                     smoother: str = "block_jacobi",
                     cut_ids_per_level=None, patch_sweeps: int = 1,
-                    cheb_degree: int = 4,
+                    cheb_degree: int = 4, patch_colors: int = 1,
                     layout: str = "rm",
                     uniform_per_level=None) -> Multigrid:
     """S_per_level: dict {n: S_n [C_n, nfd, nfd]} containing the condensed
@@ -714,17 +732,20 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
             _uniform_su(uniform_per_level, n)
         if S_u is not None:
             from ..methods import cells_last as _cl
-            dS = _cl.uniform_deltas(S_per_level[n], S_u.astype(dtype), irr)
+            S_n = S_per_level[n]
+            lean_in = S_n.shape[1] == len(irr) and len(irr) != n * n
+            dS = S_n if lean_in else \
+                _cl.uniform_deltas(S_n, S_u.astype(dtype), irr)
             apply_S = _cl.make_uniform_operator_cl(
                 sys_n, S_u.astype(dtype), irr, dS)
         else:
             apply_S = op_fn(sys_n, S_per_level[n])
         if S_u is not None and smoother in ("block_jacobi", "chebyshev"):
             from ..methods import cells_last as _cl
-            iH, iV = _cl.block_jacobi_setup_cl(sys_n, S_per_level[n])
+            hf, vf = _cl.uniform_face_block_deltas(sys_n, dS, irr)
+            corrH, corrV = _cl.uniform_bj_from_deltas(sys_n, S_u, hf, vf,
+                                                      dtype)
             iHu, iVu = _cl.uniform_block_jacobi_blocks(sys_n, S_u)
-            corrH, corrV = _cl.uniform_bj_corrections(
-                sys_n, iH, iV, iHu.astype(dtype), iVu.astype(dtype), irr)
             base = _cl.make_uniform_block_jacobi_cl(
                 sys_n, iHu.astype(dtype), iVu.astype(dtype), corrH, corrV)
         elif smoother in ("block_jacobi", "chebyshev"):
@@ -748,12 +769,25 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
         smoothers = (damped,)
         if cut_ids_per_level is not None and \
                 len(cut_ids_per_level.get(n, ())) > 0:
-            patch = patch_fn(sys_n, S_per_level[n], cut_ids_per_level[n])
+            from ..methods import cells_last as _cl
+            patches = []
+            for g in _cl.patch_color_groups(cut_ids_per_level[n], n,
+                                            patch_colors):
+                if S_u is not None:
+                    pb = _cl.uniform_patch_setup_lean(
+                        sys_n, S_u, dS, irr, g, dtype)
+
+                    def patch(r, _sys=sys_n, _ids=g, _pb=pb):
+                        return _cl.apply_cut_patch_cl(_sys, _ids, *_pb,
+                                                      r)
+                else:
+                    patch = patch_fn(sys_n, S_per_level[n], g)
+                patches.append(patch)
             # error components local to the sliver-cut Nitsche cells are
             # invisible both to Jacobi and to the (differently cut)
             # coarse level; extra interface sweeps are cheap (the patch
             # batch is O(N) cells) and cut iteration counts hard
-            smoothers = (damped,) + (patch,) * patch_sweeps
+            smoothers = (damped,) + tuple(patches) * patch_sweeps
         if i + 1 < len(sizes):
             nc = sizes[i + 1]
             if hdi is not None:

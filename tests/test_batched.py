@@ -68,3 +68,29 @@ def test_family_geom_chunked_matches():
                        np.asarray(tiled.h1_error), rtol=1e-12)
     assert np.array_equal(np.asarray(full.iterations),
                           np.asarray(tiled.iterations))
+
+
+def test_family_beyond_circles():
+    """Arbitrary level-set families: an ellipse family solves through
+    the same vmapped pipeline; a degenerate ellipse (a == b == r)
+    reproduces the circle-family row exactly."""
+    import jax.numpy as jnp
+    from proton_tpu.cut import batched
+
+    N, k = 16, 1
+    r = 0.33
+    circ = batched.solve_fictdom_family(
+        N, k, jnp.asarray([r]), jnp.asarray([[0.5, 0.5]]))
+    ell = batched.solve_fictdom_family_params(
+        N, k,
+        (jnp.asarray([r, 0.30]), jnp.asarray([r, 0.22]),
+         jnp.asarray([0.5, 0.48]), jnp.asarray([0.5, 0.52])),
+        batched.ellipse_family)
+    assert int(ell.n_cut_overflow[0]) == 0
+    assert int(ell.n_cut_overflow[1]) == 0
+    assert int(ell.exit_reason[1]) == 0        # true ellipse converges
+    assert float(ell.h1_error[1]) < 0.05
+    # degenerate ellipse == circle
+    assert int(ell.n_cut[0]) == int(circ.n_cut[0])
+    assert np.isclose(float(ell.h1_error[0]), float(circ.h1_error[0]),
+                      rtol=1e-10)

@@ -303,3 +303,123 @@ def test_uniform_segmented_solve_matches():
                                       cg_segment=25, fitted="uniform")
     assert int(r_u.exit_reason) == cg.CONVERGED
     assert float(jnp.max(jnp.abs(r_u.local - r_f.local))) < 1e-8
+
+
+def test_uniform64_matches_chunked_f64():
+    """The f64 uniform-mode assembly (exact f64 unit blocks + chunked
+    f64 rhs + f64 splices) equals the accurate-mode chunked per-cell
+    f64 assembly to roundoff."""
+    from proton_tpu.core.geometry import cell_geometry
+    from proton_tpu.core.ops import HHODegreeInfo
+    from proton_tpu.cut import methods as cut_methods
+
+    N, k = 16, 1
+    problem = fs.default_problem()
+    hdi = HHODegreeInfo(k + 1, k)
+    eta = fs.nitsche_eta(k)
+    mesh, cutdata, cut_ids = fs.classify_level(N, problem, 4, False,
+                                               classify_f32=True)
+    geom = cell_geometry(mesh)
+    batch = cut_methods.make_cut_batch(mesh, geom, cutdata, cut_ids)
+    dist = np.nonzero(np.asarray(cutdata.distorted))[0]
+    unit_host = fs._unit_cell_host(hdi, 1.0 / N)
+    unit = tuple(jnp.asarray(a, jnp.float64) for a in unit_host)
+    got = fs._assemble_level_uniform64(
+        mesh, cutdata.cell_loc, batch, jnp.asarray(dist, jnp.int32),
+        unit, hdi, problem, eta, with_rhs=True)
+    ref = fs._assemble_level_cl_f64(mesh, geom, cutdata.cell_loc, batch,
+                                    hdi, problem, eta, with_rhs=True)
+    assert got.S.dtype == jnp.float64
+    for a, b in zip(got, ref):
+        scale = float(jnp.max(jnp.abs(b))) + 1.0
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-11 * scale
+
+
+def test_lean_uniform_assembly_matches_dense():
+    """The lean uniform system (UniformCondCL: dS + moments + irregular
+    blocks) carries exactly the dense uniform build's content."""
+    from proton_tpu.core.ops import HHODegreeInfo
+    from proton_tpu.methods import cells_last
+
+    N, k = 24, 1
+    hdi = HHODegreeInfo(k + 1, k)
+    problem, eta = fs.default_problem(), fs.nitsche_eta(k)
+    a = fs.build_level(N, hdi, problem, eta, 4, mixed=False,
+                       use_pallas=False, with_rhs=True, fitted="uniform")
+    b = fs.build_level(N, hdi, problem, eta, 4, mixed=False,
+                       use_pallas=False, with_rhs=True, fitted="lean")
+    assert isinstance(b.cond, cells_last.UniformCondCL)
+    assert np.array_equal(a.irr_ids, b.irr_ids)
+    irr = np.asarray(a.irr_ids)
+    Su = a.S_u.reshape(-1, 1)
+    for da, db, name in (
+            (np.asarray(a.cond.S)[:, irr] - Su, b.cond.dS, "dS"),
+            (a.cond.bF, b.cond.bF, "bF"),
+            (a.cond.fT, b.cond.fT, "fT"),
+            (np.asarray(a.cond.ATT)[:, irr], b.cond.ATT_i, "ATT_i"),
+            (np.asarray(a.cond.ATF)[:, irr], b.cond.ATF_i, "ATF_i")):
+        da, db = np.asarray(da), np.asarray(db)
+        scale = np.abs(da).max() + 1e-30
+        assert np.abs(da - db).max() < 1e-12 * scale, name
+
+
+def test_lean_solve_matches_dense():
+    """End-to-end lean solve (uniform rhs fold, dS-only MG setup,
+    patch-from-deltas, lean recovery) == the dense uniform solve."""
+    cgp = _cgp(1e-10)
+    r_d = fs.solve_fictdom_structured(16, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="uniform")
+    r_l = fs.solve_fictdom_structured(16, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="lean")
+    assert int(r_l.exit_reason) == cg.CONVERGED
+    assert float(jnp.max(jnp.abs(r_l.local - r_d.local))) < 1e-9
+    assert np.isclose(float(r_l.h1_error), float(r_d.h1_error),
+                      rtol=1e-9)
+    # and through the segmented path (mg_setup_jit / cg_seg_jit)
+    r_s = fs.solve_fictdom_structured(16, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      cg_segment=25, fitted="lean")
+    assert int(r_s.exit_reason) == cg.CONVERGED
+    assert float(jnp.max(jnp.abs(r_s.local - r_d.local))) < 1e-8
+
+
+def test_lean_mixed_matches_dense_mixed():
+    """Lean + mixed precision (f64 cut splice) == dense uniform mixed."""
+    cgp = _cgp(1e-9)
+    r_d = fs.solve_fictdom_structured(16, 2, mixed=True,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="uniform")
+    r_l = fs.solve_fictdom_structured(16, 2, mixed=True,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="lean")
+    assert int(r_l.exit_reason) == cg.CONVERGED
+    assert np.isclose(float(r_l.h1_error), float(r_d.h1_error),
+                      rtol=1e-6)
+
+
+def test_patch_colors_multiplicative():
+    """patch_colors=2 (checkerboard multiplicative patch sweeps) solves
+    the same system to the same solution, in no more iterations than
+    the additive smoother, on both the uniform and lean paths."""
+    cgp = _cgp(1e-10)
+    r_a = fs.solve_fictdom_structured(32, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="uniform")
+    r_m = fs.solve_fictdom_structured(32, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      fitted="uniform", patch_colors=2)
+    assert int(r_m.exit_reason) == cg.CONVERGED
+    assert float(jnp.max(jnp.abs(r_m.local - r_a.local))) < 1e-8
+    # at this tiny N both converge in ~15 iterations; the multiplicative
+    # win shows at scale (scripts/mg_scale_exp.py) — here just guard
+    # against a broken smoother
+    assert int(r_m.iterations) <= int(r_a.iterations) + 3
+    # lean + segmented path (mg_setup_cl / mg_precondition_cl wiring)
+    r_s = fs.solve_fictdom_structured(32, 1, mixed=False,
+                                      use_pallas=False, cg_params=cgp,
+                                      cg_segment=25, fitted="lean",
+                                      patch_colors=2)
+    assert int(r_s.exit_reason) == cg.CONVERGED
+    assert float(jnp.max(jnp.abs(r_s.local - r_a.local))) < 1e-8

@@ -135,3 +135,20 @@ def test_structured_topology_matches_sort_based_builder():
                   "face_ptids", "face_bnd"):
             assert np.array_equal(np.asarray(getattr(new, f)),
                                   np.asarray(getattr(old, f))), (Nx, Ny, f)
+
+
+def test_structured_topology_device_matches_host():
+    """The device-side iota topology equals the host closed-form builder
+    array-for-array."""
+    import numpy as np
+    from proton_tpu.core.mesh import (make_poly_mesh,
+                                      structured_topology_device)
+
+    for N in (1, 3, 8):
+        m = make_poly_mesh(Nx=N, Ny=N)
+        cp, cn, cf, fp, fb = structured_topology_device(N, N)
+        assert np.array_equal(np.asarray(cp), np.asarray(m.cell_ptids))
+        assert np.array_equal(np.asarray(cn), np.asarray(m.cell_npts))
+        assert np.array_equal(np.asarray(cf), np.asarray(m.cell_faces))
+        assert np.array_equal(np.asarray(fp), np.asarray(m.face_ptids))
+        assert np.array_equal(np.asarray(fb), np.asarray(m.face_bnd))
