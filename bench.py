@@ -54,7 +54,9 @@ try:  # persistent compilation cache: amortize remote AOT compiles
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.0: the MG hierarchy spends seconds per level recompiling sub-1s
+    # host programs every process unless they persist too
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
 
@@ -100,6 +102,15 @@ def main():
                       max_iter=maxit, apply_preconditioner=True,
                       recompute_every=recomp)
 
+    def sync(*arrays):
+        """True execution barrier: fetch a scalar depending on each array.
+        The remote (axon) runtime DEFERS execution past
+        jax.block_until_ready — a 1 s assembly 'completes' in 30 ms and
+        the work drains into whichever phase next reads a value — so
+        every phase boundary forces a reduction fetch instead."""
+        for a in arrays:
+            jax.device_get(jnp.sum(jnp.ravel(a)[:4096]))
+
     # ---------------- warmup probe ---------------------------------------
     # absorbs the occasional multi-minute post-fault device stall (see
     # CLAUDE.md) so it lands in warmup_s, not in the measured phases
@@ -115,8 +126,10 @@ def main():
     mesh, cutdata, cut_ids, cell_loc, batch, dist_ids = fs._classify_host(
         N, hdi, problem, 4, _MIXED)
     geom = jax.jit(cell_geometry)(mesh)
-    dofmap = assembly.build_dofmap(mesh, hdi)
-    jax.block_until_ready(geom.bar)
+    # host closed-form dofmap: build_dofmap on the device mesh would
+    # DOWNLOAD the topology over the tunnel (~137 s at 1024^2)
+    dofmap = assembly.build_dofmap_structured(N, hdi)
+    sync(geom.bar, mesh.cell_faces, batch.interface, dofmap.asm_idx)
     t_setup = time.perf_counter() - t0
 
     # ---------------- fine-level assembly + condensation ------------------
@@ -138,10 +151,10 @@ def main():
         return cond
 
     cond = assemble_fine()
-    jax.block_until_ready(cond.S)
+    sync(cond.S, cond.bF)
     t0 = time.perf_counter()
     cond = assemble_fine()
-    jax.block_until_ready(cond.S)
+    sync(cond.S, cond.bF)
     t_assembly = time.perf_counter() - t0
     C = mesh.num_cells
     elements_per_sec = C / t_assembly
@@ -192,7 +205,7 @@ def main():
                 sub = fs._cut64_condensed(batch, hdi, problem, eta,
                                           with_rhs=True)
                 cond = cells_last.set_cells(cond, cut_ids, sub)
-        jax.block_until_ready(jax.tree.leaves(cond)[0])
+        sync(*jax.tree.leaves(cond))
         levels[N] = fs.LevelData(
             mesh, None, cut_ids, cond,
             np.asarray(unit_host[0], np.float64), irr, batch, cell_loc)
@@ -215,7 +228,7 @@ def main():
             levels[n] = lev
             S_levels[n] = _S(lev.cond).astype(dtype)
             cut_levels[n] = lev.cut_ids
-        jax.block_until_ready(S_levels[min(S_levels)])
+        sync(*(S_levels[n] for n in S_levels))
     t_mg_setup = time.perf_counter() - t0
 
     # ---------------- condensed face-grid solve ---------------------------
@@ -242,10 +255,10 @@ def main():
         return out[0], out[2], out[3], out[4]
 
     local, iters, exit_reason, rel = solve()
-    jax.block_until_ready(local)
+    sync(local)
     t0 = time.perf_counter()
     local, iters, exit_reason, rel = solve()
-    jax.block_until_ready(local)
+    sync(local)
     t_solve = time.perf_counter() - t0
 
     # ---------------- H1 error vs manufactured solution -------------------

@@ -87,6 +87,23 @@ class DofMap:
         return self.asm_idx.shape[1]
 
 
+def build_dofmap_structured(N: int, hdi: HHODegreeInfo) -> DofMap:
+    """DofMap of the generated N x N mesh built ENTIRELY on the host
+    (closed-form topology) and shipped once. build_dofmap on a
+    device-resident mesh first downloads cell_faces/face_bnd over the
+    transport — on the remote-TPU tunnel that download is orders of
+    magnitude slower than rebuilding the topology on the host (measured
+    137 s vs 2.6 s at 1024^2)."""
+    from ..core.mesh import make_poly_mesh
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        dm = build_dofmap(make_poly_mesh(Nx=N, Ny=N), hdi)
+    if jax.default_backend() != "cpu":
+        dm = jax.device_put(dm, jax.devices()[0])
+    return dm
+
+
 def build_dofmap(mesh, hdi: HHODegreeInfo) -> DofMap:
     """Host-side construction of the assembler tables (assembler ctor,
     hho.hpp:298-335)."""

@@ -423,3 +423,42 @@ def test_patch_colors_multiplicative():
                                       patch_colors=2)
     assert int(r_s.exit_reason) == cg.CONVERGED
     assert float(jnp.max(jnp.abs(r_s.local - r_a.local))) < 1e-8
+
+
+def test_setup_cache_roundtrip(tmp_path, monkeypatch):
+    """The on-disk setup cache (PROTON_SETUP_CACHE=force on CPU)
+    reproduces the live classification bit-exactly: points, cell_loc,
+    cut/distorted ids and every cut-batch leaf."""
+    from proton_tpu.core.ops import HHODegreeInfo
+
+    hdi = HHODegreeInfo(2, 1)
+    problem = fs.default_problem()
+    assert problem.cache_key is not None
+    monkeypatch.setenv("PROTON_SETUP_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("PROTON_SETUP_CACHE", "0")
+    live = fs._classify_host(16, hdi, problem, 4, False)
+    monkeypatch.setenv("PROTON_SETUP_CACHE", "force")
+    cold = fs._classify_host(16, hdi, problem, 4, False)  # writes
+    assert len(list(tmp_path.iterdir())) == 1
+    warm = fs._classify_host(16, hdi, problem, 4, False)  # reads
+    assert warm[1] is None  # cutdata not reconstructed on a hit
+
+    def same(a, b, name):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape and a.dtype == b.dtype, name
+        assert (a == b).all(), name
+
+    for got in (cold, warm):
+        same(live[0].points, got[0].points, "points")
+        same(live[0].cell_ptids, got[0].cell_ptids, "cell_ptids")
+        same(live[0].face_bnd, got[0].face_bnd, "face_bnd")
+        same(live[3], got[3], "cell_loc")
+        same(live[2], got[2], "cut_ids")
+        same(live[5], got[5], "dist_ids")
+        for f in live[4]._fields:
+            if f == "geom":
+                for g in live[4].geom._fields:
+                    same(getattr(live[4].geom, g), getattr(got[4].geom, g),
+                         f"geom.{g}")
+            else:
+                same(getattr(live[4], f), getattr(got[4], f), f)
