@@ -169,6 +169,7 @@ def main():
     lean = os.environ.get("PROTON_BENCH_LEAN", "1") == "1" and \
         _PRECISION != "f64"
     levels = {}
+    t0 = time.perf_counter()
     if uniform_solve:
         unit_host = fs._unit_cell_host(hdi, 1.0 / N)
         irr = np.union1d(dist_ids, np.asarray(cut_ids))
@@ -209,8 +210,13 @@ def main():
         levels[N] = fs.LevelData(
             mesh, None, cut_ids, cond,
             np.asarray(unit_host[0], np.float64), irr, batch, cell_loc)
+    t_system = time.perf_counter() - t0
 
-    # ---------------- MG hierarchy (rediscretized coarse levels) ----------
+    # ---------------- MG hierarchy + V-cycle setup -------------------------
+    # coarse levels are O(band) lean arrays, disk-cached per (geometry,
+    # n, k); the V-cycle setup (patch inversions, lambda_max power
+    # iterations, transfer stencils, coarse factorization) runs ONCE
+    # here — the solve segments reuse the precomputed MGDataCL arrays
     t0 = time.perf_counter()
     _S = lambda c: (c.dS if isinstance(c, cells_last.UniformCondCL)
                     else c.S)
@@ -220,18 +226,13 @@ def main():
         # the preconditioner only needs the f64 cut splice where f32
         # rounds the blocks indefinite (k >= 2)
         for n in fs._mg_sizes(N, 8)[1:]:
-            lev = fs.build_level(n, hdi, problem, eta, int_refsteps=4,
-                                 mixed=_MIXED and k >= 2,
-                                 use_pallas=use_pallas,
-                                 with_rhs=False,
-                                 fitted="lean" if lean else "uniform")
+            lev = fs.build_coarse_level(n, hdi, problem, eta,
+                                        int_refsteps=4,
+                                        mixed=_MIXED and k >= 2)
             levels[n] = lev
             S_levels[n] = _S(lev.cond).astype(dtype)
             cut_levels[n] = lev.cut_ids
-        sync(*(S_levels[n] for n in S_levels))
-    t_mg_setup = time.perf_counter() - t0
 
-    # ---------------- condensed face-grid solve ---------------------------
     sizes = tuple(sorted(S_levels))
     S_list = tuple(S_levels[n] for n in sizes)
     cut_static = tuple(
@@ -246,10 +247,22 @@ def main():
               uniform_levels=fs.uniform_static(levels),
               cg_f64=cg_f64, mg_f32=_PRECISION == "f64")
 
+    mg_pre = None
+    if segment and fs.segments_can_reuse(kw):
+        stat = fs.segments_static(kw)
+        mgdata = fs._mg_setup_jit(S_list, **stat)
+        rhs, gF_cl = fs._rhs_jit(mesh, dofmap, cond, sizes=sizes,
+                                 hdi=hdi, problem=problem,
+                                 uniform_levels=stat["uniform_levels"])
+        sync(mgdata.coarse_chol, *jax.tree.leaves(rhs))
+        mg_pre = (mgdata, rhs, gF_cl)
+    t_mg_setup = time.perf_counter() - t0
+
+    # ---------------- condensed face-grid solve ---------------------------
     def solve():
         if segment:
             return fs.solve_segments(mesh, dofmap, cond, S_list, cgp,
-                                     segment, kw)
+                                     segment, kw, pre=mg_pre)
         out = fs._solve_jit(mesh, dofmap, cond, S_list, cg_params=cgp,
                             **kw)
         return out[0], out[2], out[3], out[4]
@@ -271,7 +284,8 @@ def main():
         h1 = float(jax.block_until_ready(h1))
         t_h1 = time.perf_counter() - t0
 
-    end_to_end = t_setup + t_assembly + t_mg_setup + t_solve + t_h1
+    end_to_end = (t_setup + t_assembly + t_system + t_mg_setup +
+                  t_solve + t_h1)
 
     result = {
         "metric": "elements/sec local assembly (k=1 cutHHO); "
@@ -288,6 +302,7 @@ def main():
         "warmup_s": round(t_warmup, 3),
         "setup_s": round(t_setup, 3),
         "assembly_s": round(t_assembly, 4),
+        "system_s": round(t_system, 3),
         "mg_setup_s": round(t_mg_setup, 3),
         "solve_s": round(t_solve, 3),
         "h1_s": round(t_h1, 3),

@@ -780,6 +780,75 @@ def _assemble_level_uniform_lean(mesh, geom, cell_loc, batch, dist_ids,
     return _set_cells_lean(ucond, S_u_cl, irr_ids, batch.ids, cut_cond)
 
 
+_MGLEVEL_CACHE_V = "v1"
+
+
+def _coarse_cache_file(n: int, hdi: HHODegreeInfo, eta: float,
+                       int_refsteps: int, mixed: bool,
+                       classify_f32: bool, key: str) -> str:
+    import hashlib
+
+    d = os.environ.get("PROTON_SETUP_CACHE_DIR")
+    if d is None:
+        d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".proton_setup_cache")
+    h = hashlib.sha1(
+        f"{_MGLEVEL_CACHE_V}|{key}|{n}|{hdi.cell_degree}|"
+        f"{hdi.face_degree}|{eta}|{int_refsteps}|{int(mixed)}|"
+        f"{int(classify_f32)}".encode()).hexdigest()[:16]
+    return os.path.join(d, f"mglevel_n{n}_{h}.npz")
+
+
+def build_coarse_level(n: int, hdi: HHODegreeInfo,
+                       problem: FictdomProblem, eta: float,
+                       int_refsteps: int, mixed: bool) -> LevelData:
+    """One MG coarse level (no rhs) in the lean uniform decomposition,
+    DISK-CACHED: the V-cycle needs only (dS, S_u, irr_ids, cut_ids) of
+    each rediscretized level — O(band) arrays on the generated mesh —
+    and classification + assembly are deterministic per
+    (problem.cache_key, n, degree, eta, refsteps), so warm runs load a
+    tiny npz + one device_put instead of re-running the per-level
+    classify/assemble pipeline (~4-6 s/level of fixed host+dispatch
+    cost at any n; the dominant mg-hierarchy cost at 1024^2). Same
+    gating as _classify_host: non-CPU backends only (the CPU accuracy
+    gates never cache), PROTON_SETUP_CACHE=0 disables."""
+    classify_f32 = jax.default_backend() == "tpu"
+    on_host = jax.default_backend() != "cpu"
+    cache_mode = os.environ.get("PROTON_SETUP_CACHE", "1")
+    path = None
+    if problem.cache_key is not None and \
+            (cache_mode == "force" or (on_host and cache_mode == "1")):
+        path = _coarse_cache_file(n, hdi, eta, int_refsteps, mixed,
+                                  classify_f32, problem.cache_key)
+        if os.path.exists(path):
+            try:
+                z = np.load(path)
+                dev = jax.devices()[0]
+                dS = jax.device_put(jnp.asarray(z["dS"]), dev)
+                cond = cells_last.UniformCondCL(dS, None, None, None,
+                                                None)
+                return LevelData(None, None, np.asarray(z["cut_ids"]),
+                                 cond, np.asarray(z["S_u"], np.float64),
+                                 np.asarray(z["irr_ids"]), None, None)
+            except Exception:
+                pass
+    lev = build_level(n, hdi, problem, eta, int_refsteps, mixed,
+                      use_pallas=False, with_rhs=False, fitted="lean")
+    if path is not None:
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.savez(f, dS=np.asarray(lev.cond.dS),
+                         S_u=np.asarray(lev.S_u, np.float64),
+                         irr_ids=np.asarray(lev.irr_ids),
+                         cut_ids=np.asarray(lev.cut_ids))
+            os.replace(tmp, path)
+        except Exception:
+            pass
+    return lev
+
+
 def build_level(N: int, hdi: HHODegreeInfo, problem: FictdomProblem,
                 eta: float, int_refsteps: int, mixed: bool,
                 use_pallas: bool, with_rhs: bool,
@@ -941,8 +1010,13 @@ def solve_fictdom_structured(
     S_levels, cut_levels = {N: _S(fine)}, {N: fine.cut_ids}
     if precond == "mg":
         for n in _mg_sizes(N, mg_coarsest)[1:]:
-            lev = build_level(n, hdi, problem, eta, int_refsteps, mixed,
-                              use_pallas, with_rhs=False, fitted=fitted)
+            if fitted in ("uniform", "lean"):
+                lev = build_coarse_level(n, hdi, problem, eta,
+                                         int_refsteps, mixed)
+            else:
+                lev = build_level(n, hdi, problem, eta, int_refsteps,
+                                  mixed, use_pallas, with_rhs=False,
+                                  fitted=fitted)
             levels[n] = lev
             S_levels[n] = _S(lev)
             cut_levels[n] = lev.cut_ids
@@ -1108,17 +1182,36 @@ def _recover_jit(cond, x, gF_cl, *, sizes, hdi, uniform_levels=None):
     return cells_last.solve_recover_cl(sys_f, cond, x, gF_cl)
 
 
+def segments_can_reuse(kw: dict) -> bool:
+    """True when solve_segments runs the precomputed-MGDataCL fast path
+    (the V-cycle setup can be built once and passed via ``pre``)."""
+    return (kw.get("precond") == "mg" and not kw.get("mg_f32") and
+            not kw.get("cg_f64") and
+            kw.get("mg_smoother", "chebyshev") == "chebyshev")
+
+
+def segments_static(kw: dict) -> dict:
+    """The static-arg subset of ``kw`` that _mg_setup_jit/_cg_seg_jit
+    take (n_smooth excluded — _cg_seg_jit takes it separately)."""
+    return dict(sizes=kw["sizes"], hdi=kw["hdi"],
+                cut_levels=kw["cut_levels"],
+                mg_coarsest=kw["mg_coarsest"],
+                cheb_degree=kw.get("cheb_degree", 4),
+                patch_colors=kw.get("patch_colors", 1),
+                uniform_levels=kw.get("uniform_levels"))
+
+
 def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
-                   kw: dict):
+                   kw: dict, pre=None):
     """Host loop of warm-started CG segments with the true residual
     recomputed at every boundary. The MG setup (patch inversions,
     lambda_max power iterations, transfer stencils, the dense coarse
     factorization) runs ONCE in its own jit; each segment only applies
-    the V-cycle from the precomputed MGDataCL arrays."""
+    the V-cycle from the precomputed MGDataCL arrays. ``pre``: an
+    optional (mgdata, rhs, gF_cl) triple from _mg_setup_jit/_rhs_jit so
+    callers can keep the one-time setup out of their solve phase."""
     seg_params = dataclasses.replace(cg_params, max_iter=segment)
-    if kw.get("precond") != "mg" or kw.get("mg_f32") or \
-            kw.get("cg_f64") or kw.get("mg_smoother",
-                                       "chebyshev") != "chebyshev":
+    if not segments_can_reuse(kw):
         # non-MG / special modes: per-segment _solve_jit (setup is cheap
         # there or the mode is CPU-only anyway)
         x = nr0 = None
@@ -1136,15 +1229,14 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
 
     sizes = kw["sizes"]
     hdi = kw["hdi"]
-    stat = dict(sizes=sizes, hdi=hdi, cut_levels=kw["cut_levels"],
-                mg_coarsest=kw["mg_coarsest"],
-                cheb_degree=kw.get("cheb_degree", 4),
-                patch_colors=kw.get("patch_colors", 1),
-                uniform_levels=kw.get("uniform_levels"))
-    mgdata = _mg_setup_jit(S_list, **stat)
-    rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
-                          problem=kw["problem"],
-                          uniform_levels=stat["uniform_levels"])
+    stat = segments_static(kw)
+    if pre is not None:
+        mgdata, rhs, gF_cl = pre
+    else:
+        mgdata = _mg_setup_jit(S_list, **stat)
+        rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
+                              problem=kw["problem"],
+                              uniform_levels=stat["uniform_levels"])
     S_fine = (cond.dS if isinstance(cond, cells_last.UniformCondCL)
               else cond.S)
     x = nr0 = None

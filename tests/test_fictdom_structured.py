@@ -462,3 +462,80 @@ def test_setup_cache_roundtrip(tmp_path, monkeypatch):
                          f"geom.{g}")
             else:
                 same(getattr(live[4], f), getattr(got[4], f), f)
+
+
+def test_build_coarse_level_cache_roundtrip(tmp_path, monkeypatch):
+    """build_coarse_level's disk cache reproduces the live lean build
+    exactly (dS, S_u, irr_ids, cut_ids) on a cold + warm pair."""
+    from proton_tpu.core.ops import HHODegreeInfo
+    from proton_tpu.methods import cells_last
+
+    monkeypatch.setenv("PROTON_SETUP_CACHE", "force")
+    monkeypatch.setenv("PROTON_SETUP_CACHE_DIR", str(tmp_path))
+    n, k = 16, 1
+    hdi = HHODegreeInfo(k + 1, k)
+    problem, eta = fs.default_problem(), fs.nitsche_eta(k)
+    cold = fs.build_coarse_level(n, hdi, problem, eta, 4, mixed=False)
+    assert any(f.name.startswith("mglevel_") for f in tmp_path.iterdir())
+    warm = fs.build_coarse_level(n, hdi, problem, eta, 4, mixed=False)
+    assert warm.mesh is None          # the cache-hit light LevelData
+    ref = fs.build_level(n, hdi, problem, eta, 4, mixed=False,
+                         use_pallas=False, with_rhs=False, fitted="lean")
+    for lev in (cold, warm):
+        assert isinstance(lev.cond, cells_last.UniformCondCL)
+        assert np.array_equal(np.asarray(lev.cut_ids),
+                              np.asarray(ref.cut_ids))
+        assert np.array_equal(np.asarray(lev.irr_ids),
+                              np.asarray(ref.irr_ids))
+        assert np.allclose(np.asarray(lev.S_u), np.asarray(ref.S_u),
+                           rtol=0, atol=0)
+        assert np.allclose(np.asarray(lev.cond.dS),
+                           np.asarray(ref.cond.dS), rtol=0, atol=1e-7 *
+                           (abs(np.asarray(ref.cond.dS)).max() + 1e-30))
+
+
+def test_solve_segments_pre_matches_inline():
+    """solve_segments with a precomputed (mgdata, rhs, gF) triple ==
+    letting it build its own setup (the bench mg_setup/solve split)."""
+    from proton_tpu.core.geometry import cell_geometry
+    from proton_tpu.core.ops import HHODegreeInfo
+    from proton_tpu.methods import assembly
+
+    N, k = 16, 1
+    cgp = _cgp(1e-10)
+    r_ref = fs.solve_fictdom_structured(N, k, mixed=False,
+                                        use_pallas=False, cg_params=cgp,
+                                        cg_segment=25, fitted="lean")
+    hdi = HHODegreeInfo(k + 1, k)
+    problem, eta = fs.default_problem(), fs.nitsche_eta(k)
+    fine = fs.build_level(N, hdi, problem, eta, 4, mixed=False,
+                          use_pallas=False, with_rhs=True, fitted="lean")
+    levels = {N: fine}
+    S_levels, cut_levels = {N: fine.cond.dS}, {N: fine.cut_ids}
+    for n in fs._mg_sizes(N, 8)[1:]:
+        lev = fs.build_coarse_level(n, hdi, problem, eta, 4, mixed=False)
+        levels[n] = lev
+        S_levels[n] = lev.cond.dS
+        cut_levels[n] = lev.cut_ids
+    sizes = tuple(sorted(S_levels))
+    S_list = tuple(S_levels[n] for n in sizes)
+    kw = dict(sizes=sizes, hdi=hdi, problem=problem, precond="mg",
+              cut_levels=tuple(
+                  (n, tuple(int(i) for i in
+                            fs.expand_ring(cut_levels[n], n, 1)))
+                  for n in sizes),
+              mg_coarsest=8, n_smooth=1, mg_f32=False,
+              mg_smoother="chebyshev", cheb_degree=4, patch_colors=1,
+              uniform_levels=fs.uniform_static(levels), cg_f64=False)
+    assert fs.segments_can_reuse(kw)
+    stat = fs.segments_static(kw)
+    dofmap = assembly.build_dofmap_structured(N, hdi)
+    mgdata = fs._mg_setup_jit(S_list, **stat)
+    rhs, gF_cl = fs._rhs_jit(fine.mesh, dofmap, fine.cond, sizes=sizes,
+                             hdi=hdi, problem=problem,
+                             uniform_levels=stat["uniform_levels"])
+    local, iters, ex, rel = fs.solve_segments(
+        fine.mesh, dofmap, fine.cond, S_list, cgp, 25, kw,
+        pre=(mgdata, rhs, gF_cl))
+    assert int(ex) == cg.CONVERGED
+    assert float(jnp.max(jnp.abs(local - r_ref.local))) < 1e-8
