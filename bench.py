@@ -77,6 +77,10 @@ def main():
     n_smooth = int(os.environ.get("PROTON_BENCH_NSMOOTH", "1"))
     patch_ring = int(os.environ.get("PROTON_BENCH_RING", "1"))
     cheb_degree = int(os.environ.get("PROTON_BENCH_CHEB", "4"))
+    # smoother operator pair: exact | mixed | uniform (multigrid
+    # _cheb_op_pair — 'mixed'/'uniform' drop the irregular gather/
+    # scatter corrections from the smoother's inner ops)
+    cheb_ops = os.environ.get("PROTON_BENCH_CHEBOPS", "exact")
     patch_colors = int(os.environ.get("PROTON_BENCH_PCOLORS", "1"))
     # segmented CG (true-residual restarts) is the f32-stagnation fix
     # that runs on TPU; cg_f64 (f64 CG recurrences) faults the device at
@@ -245,12 +249,13 @@ def main():
               n_smooth=n_smooth, cheb_degree=cheb_degree,
               patch_colors=patch_colors,
               uniform_levels=fs.uniform_static(levels),
-              cg_f64=cg_f64, mg_f32=_PRECISION == "f64")
+              cg_f64=cg_f64, mg_f32=_PRECISION == "f64",
+              cheb_ops=cheb_ops)
 
     mg_pre = None
     if segment and fs.segments_can_reuse(kw):
         stat = fs.segments_static(kw)
-        mgdata = fs._mg_setup_jit(S_list, **stat)
+        mgdata = fs.mg_setup_cached(S_list, stat, problem)
         rhs, gF_cl = fs._rhs_jit(mesh, dofmap, cond, sizes=sizes,
                                  hdi=hdi, problem=problem,
                                  uniform_levels=stat["uniform_levels"])

@@ -956,6 +956,7 @@ def solve_fictdom_structured(
         n_smooth: int = 1, patch_ring: int = 1, patch_colors: int = 1,
         mg_f32: bool = False,
         mg_smoother: str = "chebyshev", cheb_degree: int = 4,
+        cheb_ops: str = "exact", patch_sweeps: int = 1,
         cg_f64: Optional[bool] = None, cg_segment: int = 0,
         compute_h1: bool = True, fitted: str = "uniform",
         side: int = LOC_NEG) -> StructuredFictdomResult:
@@ -1034,7 +1035,8 @@ def solve_fictdom_structured(
             for n in sizes),
         mg_coarsest=mg_coarsest, n_smooth=n_smooth, mg_f32=mg_f32,
         mg_smoother=mg_smoother, cheb_degree=cheb_degree,
-        patch_colors=patch_colors,
+        patch_colors=patch_colors, cheb_ops=cheb_ops,
+        patch_sweeps=patch_sweeps,
         uniform_levels=uniform_static(levels),
         cg_f64=(jax.config.jax_enable_x64 and not mg_f32 and
                 not cg_segment
@@ -1094,9 +1096,11 @@ def uniform_static(levels: dict):
                                              "cut_levels", "mg_coarsest",
                                              "cheb_degree",
                                              "patch_colors",
-                                             "uniform_levels"))
+                                             "uniform_levels",
+                                             "cheb_ops"))
 def _mg_setup_jit(S_list, *, sizes, hdi, cut_levels, mg_coarsest,
-                  cheb_degree, patch_colors=1, uniform_levels=None):
+                  cheb_degree, patch_colors=1, uniform_levels=None,
+                  cheb_ops="exact"):
     S_levels = dict(zip(sizes, S_list))
     cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
     fbs = bases.face_basis_size(hdi.face_degree)
@@ -1106,7 +1110,8 @@ def _mg_setup_jit(S_list, *, sizes, hdi, cut_levels, mg_coarsest,
                                  cheb_degree=cheb_degree,
                                  patch_colors=patch_colors,
                                  uniform_per_level=_uniform_unpack(
-                                     uniform_levels))
+                                     uniform_levels),
+                                 cheb_ops=cheb_ops)
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem",
@@ -1133,10 +1138,12 @@ def _rhs_jit(mesh, dofmap, cond, *, sizes, hdi, problem,
                                              "cut_levels", "mg_coarsest",
                                              "n_smooth", "cheb_degree",
                                              "patch_colors", "cg_params",
-                                             "uniform_levels"))
+                                             "uniform_levels",
+                                             "cheb_ops", "patch_sweeps"))
 def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
                 cut_levels, mg_coarsest, n_smooth, cheb_degree,
-                cg_params, patch_colors=1, uniform_levels=None):
+                cg_params, patch_colors=1, uniform_levels=None,
+                cheb_ops="exact", patch_sweeps=1):
     N = max(sizes)
     fbs = bases.face_basis_size(hdi.face_degree)
     sys_f = structured.make_structured_system(N, N, fbs)
@@ -1156,7 +1163,8 @@ def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
         cut_ids_per_level=cuts, coarsest=mg_coarsest,
         n_smooth=n_smooth, cheb_degree=cheb_degree,
         patch_colors=patch_colors, hdi=hdi,
-        uniform_per_level=uni)
+        uniform_per_level=uni, cheb_ops=cheb_ops,
+        patch_sweeps=patch_sweeps)
     res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
                                  precond=precond, x0=x0, nr0=nr0)
     nr0_out = jnp.sqrt(sum(jnp.vdot(l, l).real for l in
@@ -1198,7 +1206,71 @@ def segments_static(kw: dict) -> dict:
                 mg_coarsest=kw["mg_coarsest"],
                 cheb_degree=kw.get("cheb_degree", 4),
                 patch_colors=kw.get("patch_colors", 1),
-                uniform_levels=kw.get("uniform_levels"))
+                uniform_levels=kw.get("uniform_levels"),
+                cheb_ops=kw.get("cheb_ops", "exact"))
+
+
+_MGDATA_CACHE_V = "v1"
+
+
+def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem):
+    """_mg_setup_jit with an on-disk cache of the RESULT arrays.
+
+    The MGDataCL pytree is O(band) small (per-level dS, bj corrections,
+    lambda scalars, patch factorizations, transfer stencils, the dense
+    coarse factor — a few MB total) and a pure function of the S arrays
+    and the static config, but its one-jit setup program recompiles
+    ~2.5-5 min in EVERY fresh process on the remote TPU backend (the
+    persistent XLA cache does not carry it, unlike the solve segments).
+    Caching the arrays keyed by (geometry, static config, sha1 of the
+    fine S/dS columns) turns warm mg-setup into a pickle load + one
+    device_put. Gated like the other setup caches: non-CPU backends
+    (or PROTON_SETUP_CACHE=force), PROTON_SETUP_CACHE=0 disables."""
+    import hashlib
+    import pickle
+
+    on_host = jax.default_backend() != "cpu"
+    cache_mode = os.environ.get("PROTON_SETUP_CACHE", "1")
+    if problem.cache_key is None or not (
+            cache_mode == "force" or (on_host and cache_mode == "1")):
+        return _mg_setup_jit(S_list, **stat)
+
+    fp = hashlib.sha1()
+    fp.update(f"{_MGDATA_CACHE_V}|{problem.cache_key}|".encode())
+    for k in sorted(stat):
+        fp.update(f"|{k}={stat[k]!r}".encode())
+    Sf = np.asarray(jax.device_get(S_list[-1]))
+    fp.update(str(Sf.shape).encode())
+    fp.update(str(Sf.dtype).encode())
+    fp.update(Sf.tobytes())
+    d = os.environ.get("PROTON_SETUP_CACHE_DIR")
+    if d is None:
+        d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".proton_setup_cache")
+    path = os.path.join(
+        d, f"mgdata_N{max(stat['sizes'])}_{fp.hexdigest()[:16]}.pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                host = pickle.load(f)
+            dev = jax.devices()[0]
+            return jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a), dev)
+                if isinstance(a, np.ndarray) else a, host)
+        except Exception:
+            pass
+    mgdata = _mg_setup_jit(S_list, **stat)
+    try:
+        host = jax.tree.map(lambda a: np.asarray(jax.device_get(a)),
+                            mgdata)
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(host, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return mgdata
 
 
 def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
@@ -1233,7 +1305,7 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
     if pre is not None:
         mgdata, rhs, gF_cl = pre
     else:
-        mgdata = _mg_setup_jit(S_list, **stat)
+        mgdata = mg_setup_cached(S_list, stat, kw["problem"])
         rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
                               problem=kw["problem"],
                               uniform_levels=stat["uniform_levels"])
@@ -1244,7 +1316,9 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
     while True:
         x, it, ex, rel, nr0 = _cg_seg_jit(
             S_fine, mgdata, rhs, x, nr0,
-            n_smooth=kw.get("n_smooth", 1), cg_params=seg_params, **stat)
+            n_smooth=kw.get("n_smooth", 1),
+            patch_sweeps=kw.get("patch_sweeps", 1),
+            cg_params=seg_params, **stat)
         total += int(it)
         ex = int(ex)
         if ex in (cg.CONVERGED, cg.DIVERGED) or \
@@ -1261,12 +1335,15 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
                                              "mg_f32", "mg_smoother",
                                              "cheb_degree", "cg_f64",
                                              "patch_colors", "cg_params",
-                                             "uniform_levels"))
+                                             "uniform_levels",
+                                             "cheb_ops",
+                                             "patch_sweeps"))
 def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
                hdi, problem,
                precond, cut_levels, mg_coarsest, n_smooth, cg_params,
                mg_f32=False, mg_smoother="chebyshev", cheb_degree=4,
-               cg_f64=False, patch_colors=1, uniform_levels=None):
+               cg_f64=False, patch_colors=1, uniform_levels=None,
+               cheb_ops="exact", patch_sweeps=1):
     """One compiled graph: Dirichlet fold, MG build (all setup math is
     traced), PCG, cell recovery. S_list: S_cl arrays matching the static
     ``sizes`` (ascending); the largest is the fine level.
@@ -1348,7 +1425,8 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
             n_smooth=n_smooth, cut_ids_per_level=cuts,
             smoother=mg_smoother, cheb_degree=cheb_degree,
             patch_colors=patch_colors, layout="cl",
-            uniform_per_level=uni)
+            uniform_per_level=uni, cheb_ops=cheb_ops,
+            patch_sweeps=patch_sweeps)
         if mg_f32 and Sdt != jnp.float32:
             dt = Sdt
 

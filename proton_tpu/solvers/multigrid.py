@@ -440,16 +440,41 @@ def _uniform_su(uniform_per_level, n):
     return np.asarray(S_u, dtype=np.float64), np.asarray(ids)
 
 
+def _cheb_op_pair(cl, sys_n, dtype, apply_S, base, S_u, cheb_ops):
+    """(operator, preconditioner) the Chebyshev smoother polynomials in:
+    'exact' uses the true spliced operator + corrected block-Jacobi;
+    'mixed' swaps the INNER matvecs for the pure constant stencil
+    (exact bj keeps the sliver-row scaling sane); 'uniform' uses pure
+    constant-coefficient ops on both sides. The smoother stays SPD in
+    every mode (a fixed polynomial of an SPD pair); the V-cycle's
+    residual corrections always use the exact operator, so only
+    smoothing QUALITY near the interface changes — the irregular
+    gather/scatter corrections are the dominant per-apply cost on TPU
+    (~8 ns/element), and the interface-patch smoother already owns
+    that neighborhood."""
+    if S_u is None or cheb_ops == "exact":
+        return apply_S, base
+    apply_sm = cl.make_uniform_operator_cl(sys_n, S_u.astype(dtype))
+    if cheb_ops == "mixed":
+        return apply_sm, base
+    iHu, iVu = cl.uniform_block_jacobi_blocks(sys_n, S_u)
+    base_sm = cl.make_uniform_block_jacobi_cl(
+        sys_n, iHu.astype(dtype), iVu.astype(dtype))
+    return apply_sm, base_sm
+
+
 def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
                 coarsest: int = 8, cut_ids_per_level=None,
                 cheb_degree: int = 4, patch_colors: int = 1,
-                uniform_per_level=None) -> MGDataCL:
+                uniform_per_level=None,
+                cheb_ops: str = "exact") -> MGDataCL:
     """Compute every array the Chebyshev-smoothed cells-last V-cycle
     needs (see MGDataCL). Pure function of the S arrays — jit it with
     S as arguments (closures over big arrays break the axon remote
     compile). ``uniform_per_level`` ({n: (S_u [nfd, nfd] numpy,
     irregular ids numpy)}, static) switches level n to the
-    constant-stencil decomposition."""
+    constant-stencil decomposition. ``cheb_ops`` picks the smoother's
+    operator pair (_cheb_op_pair); the lambda_max estimate matches."""
     from ..methods import cells_last as cl
 
     sizes = _mg_sizes(N, coarsest)
@@ -487,7 +512,9 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
             base = partial(cl.apply_block_jacobi_cl, iH, iV)
         like = cl.GridVecCL(jnp.zeros((fbs, n + 1, n), dtype),
                             jnp.zeros((fbs, n, n + 1), dtype))
-        lam_t.append(estimate_lambda_max(apply_S, base, like))
+        apply_sm, base_sm = _cheb_op_pair(cl, sys_n, dtype, apply_S,
+                                          base, S_u, cheb_ops)
+        lam_t.append(estimate_lambda_max(apply_sm, base_sm, like))
         ids = None if cut_ids_per_level is None else \
             cut_ids_per_level.get(n, None)
         if ids is not None and len(ids) > 0:
@@ -533,10 +560,12 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
                        cut_ids_per_level=None, coarsest: int = 8,
                        n_smooth: int = 1, cheb_degree: int = 4,
                        patch_colors: int = 1,
-                       hdi=None, uniform_per_level=None):
+                       hdi=None, uniform_per_level=None,
+                       cheb_ops: str = "exact", patch_sweeps: int = 1):
     """Apply the V-cycle from precomputed MGDataCL arrays (the pure-
     function twin of Multigrid.precondition; cut ids are static).
-    ``uniform_per_level`` must match the mg_setup_cl call."""
+    ``uniform_per_level`` and ``cheb_ops`` must match the mg_setup_cl
+    call."""
     from ..methods import cells_last as cl
 
     sizes = _mg_sizes(N, coarsest)
@@ -557,7 +586,9 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
             apply_S = cl.make_structured_operator_cl(sys_n, data.S[i])
             iH, iV = data.bj[i]
             base = partial(cl.apply_block_jacobi_cl, iH, iV)
-        smooth = make_chebyshev_smoother(apply_S, base, data.lam[i],
+        apply_sm, base_sm = _cheb_op_pair(cl, sys_n, dtype, apply_S,
+                                          base, S_u, cheb_ops)
+        smooth = make_chebyshev_smoother(apply_sm, base_sm, data.lam[i],
                                          degree=cheb_degree)
         smoothers = (smooth,)
         if data.patch[i]:
@@ -565,7 +596,7 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
                                            patch_colors)
             smoothers = smoothers + tuple(
                 partial(cl.apply_cut_patch_cl, sys_n, g, *blk)
-                for g, blk in zip(groups, data.patch[i]))
+                for g, blk in zip(groups, data.patch[i])) * patch_sweeps
         if i + 1 < len(sizes):
             nc = sizes[i + 1]
             prol = make_reconstruction_prolongation_cl(
@@ -662,7 +693,8 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                     cut_ids_per_level=None, patch_sweeps: int = 1,
                     cheb_degree: int = 4, patch_colors: int = 1,
                     layout: str = "rm",
-                    uniform_per_level=None) -> Multigrid:
+                    uniform_per_level=None,
+                    cheb_ops: str = "exact") -> Multigrid:
     """S_per_level: dict {n: S_n [C_n, nfd, nfd]} containing the condensed
     local Schur matrices for each mesh size n = N, N/2, ..., coarsest
     (rediscretized; the caller assembles them).
@@ -758,9 +790,13 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                 return jax.tree.map(lambda rr, ii: rr * ii, r, _inv)
 
         if smoother == "chebyshev":
+            from ..methods import cells_last as _cl
             like = zeros_grid(n)
-            lam = estimate_lambda_max(apply_S, base, like)
-            damped = make_chebyshev_smoother(apply_S, base, lam,
+            apply_sm, base_sm = _cheb_op_pair(
+                _cl, sys_n, dtype, apply_S, base,
+                S_u if layout == "cl" else None, cheb_ops)
+            lam = estimate_lambda_max(apply_sm, base_sm, like)
+            damped = make_chebyshev_smoother(apply_sm, base_sm, lam,
                                              degree=cheb_degree)
         else:
             def damped(r, _b=base, _w=omega):
