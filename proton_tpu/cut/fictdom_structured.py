@@ -368,12 +368,13 @@ def _assemble_level_uniform64(mesh, cell_loc, batch, dist_ids, unit,
         f = jnp.zeros((C, cbs), jnp.float64)
     fT = f.T
     bF = -(X_u.T @ fT)
+    ch_u = jnp.linalg.cholesky(ATT_u)
+    y = jax.scipy.linalg.cho_solve((ch_u, True), fT)
     cond = cells_last.CondensedCL(
         jnp.broadcast_to(S_u.reshape(nfd * nfd, 1), (nfd * nfd, C)),
         bF,
-        jnp.broadcast_to(ATT_u.reshape(cbs * cbs, 1), (cbs * cbs, C)),
-        jnp.broadcast_to(ATF_u.reshape(cbs * nfd, 1), (cbs * nfd, C)),
-        fT)
+        jnp.broadcast_to(X_u.reshape(cbs * nfd, 1), (cbs * nfd, C)),
+        y)
 
     if dist_ids.shape[0] > 0:
         import dataclasses as _dc
@@ -413,9 +414,13 @@ def _cut64_impl(batch32, *, hdi, problem, eta, with_rhs, side=LOC_NEG,
     else:
         f_cut = jnp.zeros((lc_cut.shape[0], cbs), lc_cut.dtype)
     cond = condensation.condense(lc_cut, f_cut, cbs, robust=True)
+    # from_row_major computes the X/y back-substitution operators — do
+    # it BEFORE any downcast so they carry the exact f64 solve (only
+    # their values round to f32 storage)
+    ccl = cells_last.from_row_major(cond)
     if not keep_f64:
-        cond = _cast32(cond)
-    return cells_last.from_row_major(cond)
+        ccl = jax.tree.map(lambda a: a.astype(jnp.float32), ccl)
+    return ccl
 
 
 def _cut64_condensed(batch32, hdi, problem, eta, with_rhs,
@@ -534,12 +539,13 @@ def _assemble_level_uniform(mesh, geom, cell_loc, batch, dist_ids, unit,
         f = jnp.zeros((C, cbs), dtype)
     fT = f.T                                          # [cbs, C]
     bF = -(X_u.T @ fT)                                # [nfd, C]
+    ch_u = jnp.linalg.cholesky(ATT_u)
+    y = jax.scipy.linalg.cho_solve((ch_u, True), fT)  # [cbs, C]
     cond = cells_last.CondensedCL(
         jnp.broadcast_to(S_u.reshape(nfd * nfd, 1), (nfd * nfd, C)),
         bF,
-        jnp.broadcast_to(ATT_u.reshape(cbs * cbs, 1), (cbs * cbs, C)),
-        jnp.broadcast_to(ATF_u.reshape(cbs * nfd, 1), (cbs * nfd, C)),
-        fT)
+        jnp.broadcast_to(X_u.reshape(cbs * nfd, 1), (cbs * nfd, C)),
+        y)
 
     # displaced-node (distorted) cells: exact fitted assembly on the
     # gathered batch
@@ -718,9 +724,9 @@ def _set_cells_lean(ucond, S_u_cl, irr_ids, ids, sub):
     return cells_last.UniformCondCL(
         cells_last.set_columns(ucond.dS, pos, sub.S - S_u_cl),
         cells_last.set_columns(ucond.bF, ids, sub.bF),
-        cells_last.set_columns(ucond.fT, ids, sub.fT),
-        cells_last.set_columns(ucond.ATT_i, pos, sub.ATT),
-        cells_last.set_columns(ucond.ATF_i, pos, sub.ATF))
+        ucond.fT,
+        cells_last.set_columns(ucond.X_i, pos, sub.X),
+        cells_last.set_columns(ucond.y_i, pos, sub.y))
 
 
 @functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
@@ -749,10 +755,12 @@ def _assemble_level_uniform_lean(mesh, geom, cell_loc, batch, dist_ids,
         f = jnp.zeros((C, cbs), dtype)
     fT = f.T
     bF = -_einsum("ij,ic->jc", X_u, fT)
+    # every irregular column (union of dist + cut) is overwritten by a
+    # _set_cells_lean splice below, so the X_i/y_i init is a dead value
     ucond = cells_last.UniformCondCL(
         jnp.zeros((nfd * nfd, Ci), dtype), bF, fT,
-        jnp.broadcast_to(ATT_u.reshape(cbs * cbs, 1), (cbs * cbs, Ci)),
-        jnp.broadcast_to(ATF_u.reshape(cbs * nfd, 1), (cbs * nfd, Ci)))
+        jnp.zeros((cbs * nfd, Ci), dtype),
+        jnp.zeros((cbs, Ci), dtype))
 
     if dist_ids.shape[0] > 0:
         sub, gsub = _gather_cells(mesh, geom, dist_ids)

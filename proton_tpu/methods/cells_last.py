@@ -44,13 +44,19 @@ def _einsum(*args):
 
 class CondensedCL(NamedTuple):
     """Condensed system in cells-last layout (cf.
-    condensation.CondensedSystem)."""
+    condensation.CondensedSystem). Instead of the raw (ATT, ATF, fT)
+    blocks it stores the BACK-SUBSTITUTION operators X = ATT^-1 ATF and
+    y = ATT^-1 fT, computed once at condensation time in the
+    condensation's working precision: recovery is then two stencil
+    matmuls with no per-cell factorization, so a sliver-cut block that
+    rounds indefinite in f32 (k >= 2, local cond ~1e8) can never NaN at
+    recovery — the f64 mixed-precision splice computes X/y exactly and
+    only their VALUES are rounded to f32 storage."""
 
     S: jnp.ndarray       # [nfd*nfd, C]
     bF: jnp.ndarray      # [nfd, C]
-    ATT: jnp.ndarray     # [cbs*cbs, C]
-    ATF: jnp.ndarray     # [cbs*nfd, C]
-    fT: jnp.ndarray      # [cbs, C]
+    X: jnp.ndarray       # [cbs*nfd, C]  ATT^-1 ATF
+    y: jnp.ndarray       # [cbs, C]      ATT^-1 fT
 
 
 def _rows(flat, n, m):
@@ -81,35 +87,43 @@ def condense_cl(lc_cl, f_cl, cbs: int) -> CondensedCL:
           for j in range(nfd)] for i in range(nfd)]
     bF = [[-sum(AFT[i][k] * X[k][nfd] for k in range(cbs))]
           for i in range(nfd)]
-    return CondensedCL(_stack(S), _stack(bF), _stack(ATT), _stack(ATF),
-                       jnp.stack(fT))
+    Xop = [[X[i][j] for j in range(nfd)] for i in range(cbs)]
+    y = [X[i][nfd] for i in range(cbs)]
+    return CondensedCL(_stack(S), _stack(bF), _stack(Xop),
+                       jnp.stack(y))
 
 
 def recover_cells_cl(cond: CondensedCL, uF_cl):
-    """uT [cbs, C] = ATT^-1 (fT - ATF uF) (back-substitution of the
-    condensation), lane-vector unrolled."""
-    cbs = cond.fT.shape[0]
+    """uT [cbs, C] = y - X uF (back-substitution of the condensation
+    through the stored operators), lane-vector unrolled — no per-cell
+    factorization at recovery time."""
+    cbs = cond.y.shape[0]
     nfd = cond.bF.shape[0]
-    ATT = _rows(cond.ATT, cbs, cbs)
-    ATF = _rows(cond.ATF, cbs, nfd)
-    rhs = [[cond.fT[i] - sum(ATF[i][j] * uF_cl[j] for j in range(nfd))]
-           for i in range(cbs)]
-    uT = _chol_solve_unrolled(ATT, rhs)
-    return jnp.stack([uT[i][0] for i in range(cbs)])
+    X = _rows(cond.X, cbs, nfd)
+    return jnp.stack([
+        cond.y[i] - sum(X[i][j] * uF_cl[j] for j in range(nfd))
+        for i in range(cbs)])
 
 
 def from_row_major(cond_rm) -> CondensedCL:
-    """condensation.CondensedSystem ([C, ...]) -> CondensedCL (transpose;
-    used to splice small special-cell batches, e.g. the f64 cut class,
-    into a cells-last system)."""
+    """condensation.CondensedSystem ([C, ...]) -> CondensedCL (transpose
+    + back-substitution operators; used to splice small special-cell
+    batches, e.g. the f64 cut class, into a cells-last system). X/y are
+    computed here in cond_rm's dtype — for the mixed-precision f64 cut
+    splice this is the point where the exact f64 back-substitution is
+    captured before any downcast."""
+    from ..core.ops import robust_spd_solve
+
     C, nfd = cond_rm.bF.shape
     cbs = cond_rm.fT.shape[1]
+    XY = robust_spd_solve(
+        cond_rm.ATT,
+        jnp.concatenate([cond_rm.ATF, cond_rm.fT[..., None]], axis=-1))
     return CondensedCL(
         jnp.transpose(cond_rm.S, (1, 2, 0)).reshape(nfd * nfd, C),
         jnp.transpose(cond_rm.bF, (1, 0)),
-        jnp.transpose(cond_rm.ATT, (1, 2, 0)).reshape(cbs * cbs, C),
-        jnp.transpose(cond_rm.ATF, (1, 2, 0)).reshape(cbs * nfd, C),
-        jnp.transpose(cond_rm.fT, (1, 0)))
+        jnp.transpose(XY[..., :nfd], (1, 2, 0)).reshape(cbs * nfd, C),
+        jnp.transpose(XY[..., nfd], (1, 0)))
 
 
 def set_columns(a, ids, b):
@@ -388,13 +402,17 @@ def make_uniform_block_jacobi_cl(sys: StructuredFaceSystem, iHu, iVu,
 class UniformCondCL(NamedTuple):
     """Lean uniform condensed system (see section comment). The static
     half (S_u, X_u, ATT_u, ATF_u unit-cell blocks + the irregular ids)
-    travels OUTSIDE the pytree as host numpy."""
+    travels OUTSIDE the pytree as host numpy. Irregular columns store
+    the exact back-substitution operators X_i = ATT^-1 ATF and
+    y_i = ATT^-1 fT (see CondensedCL) — for the mixed-precision splice
+    these are f64-computed values rounded to storage dtype, so cut-cell
+    recovery never factors a rounded sliver block."""
 
     dS: jnp.ndarray      # [nfd*nfd, Ci]  S deviation at irregular columns
     bF: jnp.ndarray      # [nfd, C]
     fT: jnp.ndarray      # [cbs, C]
-    ATT_i: jnp.ndarray   # [cbs*cbs, Ci]  exact blocks at irregular columns
-    ATF_i: jnp.ndarray   # [cbs*nfd, Ci]
+    X_i: jnp.ndarray     # [cbs*nfd, Ci]  ATT^-1 ATF at irregular columns
+    y_i: jnp.ndarray     # [cbs, Ci]      ATT^-1 fT at irregular columns
 
 
 def _slot_diag_blocks(dS, fbs, slot):
@@ -582,9 +600,11 @@ def uniform_recover_cl(sys: StructuredFaceSystem, ucond: UniformCondCL,
     irr = np.asarray(irr_ids)
     if len(irr):
         idx = jnp.asarray(irr)
-        sub = CondensedCL(ucond.dS, ucond.bF[:, idx], ucond.ATT_i,
-                          ucond.ATF_i, ucond.fT[:, idx])
-        uT_i = recover_cells_cl(sub, uF[:, idx])
+        Xi = _rows(ucond.X_i, cbs, nfd)
+        uFi = uF[:, idx]
+        uT_i = jnp.stack([
+            ucond.y_i[i] - sum(Xi[i][j] * uFi[j] for j in range(nfd))
+            for i in range(cbs)])
         uT = set_columns(uT, irr, uT_i)
     return jnp.concatenate([uT, uF], axis=0).T
 

@@ -222,7 +222,7 @@ def test_uniform_assembly_matches_full(k):
     b = fs.build_level(N, hdi, problem, eta, 4, mixed=False,
                        use_pallas=False, with_rhs=True, fitted="uniform")
     assert np.array_equal(a.cut_ids, b.cut_ids)
-    for name in ("S", "bF", "ATT", "ATF", "fT"):
+    for name in ("S", "bF", "X", "y"):
         da, db = getattr(a.cond, name), getattr(b.cond, name)
         scale = float(jnp.max(jnp.abs(da))) + 1e-300
         rel = float(jnp.max(jnp.abs(da - db))) / scale
@@ -355,9 +355,8 @@ def test_lean_uniform_assembly_matches_dense():
     for da, db, name in (
             (np.asarray(a.cond.S)[:, irr] - Su, b.cond.dS, "dS"),
             (a.cond.bF, b.cond.bF, "bF"),
-            (a.cond.fT, b.cond.fT, "fT"),
-            (np.asarray(a.cond.ATT)[:, irr], b.cond.ATT_i, "ATT_i"),
-            (np.asarray(a.cond.ATF)[:, irr], b.cond.ATF_i, "ATF_i")):
+            (np.asarray(a.cond.X)[:, irr], b.cond.X_i, "X_i"),
+            (np.asarray(a.cond.y)[:, irr], b.cond.y_i, "y_i")):
         da, db = np.asarray(da), np.asarray(db)
         scale = np.abs(da).max() + 1e-30
         assert np.abs(da - db).max() < 1e-12 * scale, name
@@ -386,7 +385,13 @@ def test_lean_solve_matches_dense():
 
 
 def test_lean_mixed_matches_dense_mixed():
-    """Lean + mixed precision (f64 cut splice) == dense uniform mixed."""
+    """Lean + mixed precision (f64 cut splice) == dense uniform mixed,
+    and BOTH match the pure-f64 discretization error: with the X/y
+    back-substitution stored from the f64 condensation, recovery adds
+    no sliver-Cholesky noise (k=2 at 16^2 measured 4.3e-3 with the old
+    f32 recovery vs 1.809e-4 truth). The two paths' regular cells use
+    different-but-equivalent f32 formulas (in-jit cho_solve vs host-f64
+    constants), so they agree to f32 rounding, not bit-exactly."""
     cgp = _cgp(1e-9)
     r_d = fs.solve_fictdom_structured(16, 2, mixed=True,
                                       use_pallas=False, cg_params=cgp,
@@ -394,9 +399,16 @@ def test_lean_mixed_matches_dense_mixed():
     r_l = fs.solve_fictdom_structured(16, 2, mixed=True,
                                       use_pallas=False, cg_params=cgp,
                                       fitted="lean")
+    r_64 = fs.solve_fictdom_structured(16, 2, mixed=False,
+                                       use_pallas=False, cg_params=cgp,
+                                       fitted="lean")
     assert int(r_l.exit_reason) == cg.CONVERGED
     assert np.isclose(float(r_l.h1_error), float(r_d.h1_error),
-                      rtol=1e-6)
+                      rtol=1e-4)
+    assert np.isclose(float(r_l.h1_error), float(r_64.h1_error),
+                      rtol=2e-2)
+    assert np.isclose(float(r_d.h1_error), float(r_64.h1_error),
+                      rtol=2e-2)
 
 
 def test_patch_colors_multiplicative():
