@@ -223,3 +223,19 @@ def ellipse_family(params) -> FictdomProblem:
     base = default_problem()
     return FictdomProblem(ellipse_level_set(a, b, cx, cy),
                           base.rhs_fun, base.sol_fun, base.sol_grad)
+
+
+def flower_family(petals: int):
+    """Family constructor for k-petaled flowers (petal count is a
+    static shape-free int; the remaining params vmap): returns
+    ``family((r0, amp, cx, cy)) -> FictdomProblem`` on the non-convex
+    flower level set with the reference's manufactured solution."""
+    from .levelset import flower_level_set
+
+    def family(params) -> FictdomProblem:
+        r0, amp, cx, cy = params
+        base = default_problem()
+        return FictdomProblem(flower_level_set(r0, amp, petals, cx, cy),
+                              base.rhs_fun, base.sol_fun, base.sol_grad)
+
+    return family

@@ -94,3 +94,18 @@ def test_family_beyond_circles():
     assert int(ell.n_cut[0]) == int(circ.n_cut[0])
     assert np.isclose(float(ell.h1_error[0]), float(circ.h1_error[0]),
                       rtol=1e-10)
+
+    # non-convex family: 5-petaled flowers (autodiff level-set normals);
+    # a zero-amplitude flower degenerates to the circle
+    flw = batched.solve_fictdom_family_params(
+        N, k,
+        (jnp.asarray([r, 0.32]), jnp.asarray([0.0, 0.04]),
+         jnp.asarray([0.5, 0.49]), jnp.asarray([0.5, 0.51])),
+        batched.flower_family(5))
+    assert int(flw.n_cut_overflow[0]) == 0
+    assert int(flw.n_cut_overflow[1]) == 0
+    assert int(flw.exit_reason[1]) == 0
+    assert float(flw.h1_error[1]) < 0.05
+    assert int(flw.n_cut[0]) == int(circ.n_cut[0])
+    assert np.isclose(float(flw.h1_error[0]), float(circ.h1_error[0]),
+                      rtol=1e-10)
