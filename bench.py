@@ -133,7 +133,16 @@ def main():
     # host closed-form dofmap: build_dofmap on the device mesh would
     # DOWNLOAD the topology over the tunnel (~137 s at 1024^2)
     dofmap = assembly.build_dofmap_structured(N, hdi)
-    sync(geom.bar, mesh.cell_faces, batch.interface, dofmap.asm_idx)
+    # mixed-precision cut splice: NATIVE f64 on the host, disk-cached —
+    # the TPU's emulated-f64 path cost ~1.2 s for the O(N) cut class
+    # and sat inside the timed assembly phase (round-3 headline
+    # regression); the splice is setup, not per-element assembly
+    cut_sub = None
+    if _MIXED:
+        cut_sub = fs.cut64_condensed_cached(N, batch, hdi, problem, eta,
+                                            with_rhs=True)
+    sync(geom.bar, mesh.cell_faces, batch.interface, dofmap.asm_idx,
+         *(jax.tree.leaves(cut_sub) if cut_sub is not None else ()))
     t_setup = time.perf_counter() - t0
 
     # ---------------- fine-level assembly + condensation ------------------
@@ -149,9 +158,7 @@ def main():
                                      problem, eta, use_pallas,
                                      with_rhs=True)
         if _MIXED:
-            sub = fs._cut64_condensed(batch, hdi, problem, eta,
-                                      with_rhs=True)
-            cond = cells_last.set_cells(cond, cut_ids, sub)
+            cond = cells_last.set_cells(cond, cut_ids, cut_sub)
         return cond
 
     cond = assemble_fine()
@@ -194,12 +201,10 @@ def main():
                 jnp.asarray(irr, dtype=jnp.int32), unit, hdi, problem,
                 eta, with_rhs=True)
             if _MIXED:
-                sub = fs._cut64_condensed(batch, hdi, problem, eta,
-                                          with_rhs=True)
                 cond = fs._set_cells_lean(
                     cond, unit[0].reshape(-1, 1),
                     jnp.asarray(irr, dtype=jnp.int32),
-                    jnp.asarray(cut_ids, dtype=jnp.int32), sub)
+                    jnp.asarray(cut_ids, dtype=jnp.int32), cut_sub)
         else:
             unit = tuple(jnp.asarray(a, cond.S.dtype) for a in unit_host)
             cond = fs._assemble_level_uniform(
@@ -207,9 +212,7 @@ def main():
                 jnp.asarray(dist_ids, dtype=jnp.int32), unit, hdi,
                 problem, eta, with_rhs=True)
             if _MIXED:
-                sub = fs._cut64_condensed(batch, hdi, problem, eta,
-                                          with_rhs=True)
-                cond = cells_last.set_cells(cond, cut_ids, sub)
+                cond = cells_last.set_cells(cond, cut_ids, cut_sub)
         sync(*jax.tree.leaves(cond))
         levels[N] = fs.LevelData(
             mesh, None, cut_ids, cond,
@@ -252,10 +255,23 @@ def main():
               cg_f64=cg_f64, mg_f32=_PRECISION == "f64",
               cheb_ops=cheb_ops)
 
+    # MG transfer mode: uniform | smoothed (operator-smoothed pair) |
+    # cut (per-cut-cell corrections; measured worse — experimentation)
+    mg_transfer = os.environ.get("PROTON_BENCH_MGTRANSFER", "uniform")
+    drec_list = None
+    if precond == "mg" and mg_transfer == "cut":
+        dl = tuple(levels[n].drec if n in levels else None
+                   for n in sizes)
+        if any(d is not None for d in dl):
+            drec_list = dl
+    kw["smooth_transfers"] = mg_transfer == "smoothed"
+    # interface-band deflation: 2K+1 Fourier modes along the band
+    kw["deflate_K"] = int(os.environ.get("PROTON_BENCH_DEFLATE", "0"))
+
     mg_pre = None
     if segment and fs.segments_can_reuse(kw):
         stat = fs.segments_static(kw)
-        mgdata = fs.mg_setup_cached(S_list, stat, problem)
+        mgdata = fs.mg_setup_cached(S_list, stat, problem, drec_list)
         rhs, gF_cl = fs._rhs_jit(mesh, dofmap, cond, sizes=sizes,
                                  hdi=hdi, problem=problem,
                                  uniform_levels=stat["uniform_levels"])
@@ -267,9 +283,10 @@ def main():
     def solve():
         if segment:
             return fs.solve_segments(mesh, dofmap, cond, S_list, cgp,
-                                     segment, kw, pre=mg_pre)
+                                     segment, kw, pre=mg_pre,
+                                     drec_list=drec_list)
         out = fs._solve_jit(mesh, dofmap, cond, S_list, cg_params=cgp,
-                            **kw)
+                            drec_list=drec_list, **kw)
         return out[0], out[2], out[3], out[4]
 
     local, iters, exit_reason, rel = solve()

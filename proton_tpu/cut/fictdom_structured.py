@@ -131,6 +131,10 @@ class LevelData(NamedTuple):
     irr_ids: Optional[np.ndarray] = None
     batch: object = None          # CutCellBatch on the assembly device
     cell_loc: object = None       # [C] on the assembly device
+    drec: object = None           # [rbs*nfd, Ci] reconstruction-map
+    #                               deviations at the irregular columns
+    #                               (cut-aware MG transfers; coarse
+    #                               levels only)
 
 
 class StructuredFictdomResult(NamedTuple):
@@ -438,6 +442,72 @@ def _cut64_condensed(batch32, hdi, problem, eta, with_rhs,
                        with_rhs=with_rhs, side=side)
 
 
+_CUT64_CACHE_V = "v1"
+
+
+def cut64_condensed_cached(N: int, batch32, hdi: HHODegreeInfo,
+                           problem: FictdomProblem, eta: float,
+                           with_rhs: bool, int_refsteps: int = 4,
+                           side: int = LOC_NEG):
+    """_cut64_condensed computed on the CPU HOST in NATIVE f64 and
+    disk-cached per (geometry, N, degree, eta): the TPU's emulated-f64
+    path costs ~410 us per tiny cut block (~1.2 s for 2,868 cells at
+    1024^2 — it dominated the timed assembly phase), while the host
+    computes the same O(N) batch in milliseconds of arithmetic and warm
+    runs load an npz. Values are identical to the device path up to the
+    emulation's 2^-48 tail — both rounded to the same f32 storage.
+    Same gating as the other setup caches (non-CPU backends only,
+    PROTON_SETUP_CACHE=0 disables); on the CPU backend (accuracy-gate
+    tests) this falls through to the plain device computation."""
+    on_host = jax.default_backend() != "cpu"
+    cache_mode = os.environ.get("PROTON_SETUP_CACHE", "1")
+    if not on_host:
+        return _cut64_condensed(batch32, hdi, problem, eta, with_rhs,
+                                side)
+    path = None
+    if problem.cache_key is not None and cache_mode in ("1", "force"):
+        import hashlib
+
+        d = os.environ.get("PROTON_SETUP_CACHE_DIR")
+        if d is None:
+            d = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+                ".proton_setup_cache")
+        h = hashlib.sha1(
+            f"{_CUT64_CACHE_V}|{problem.cache_key}|{N}|"
+            f"{hdi.cell_degree}|{hdi.face_degree}|{eta}|{int_refsteps}|"
+            f"{int(with_rhs)}|{side}".encode()).hexdigest()[:16]
+        path = os.path.join(d, f"cut64_N{N}_{h}.npz")
+        if os.path.exists(path):
+            try:
+                z = np.load(path)
+                dev = jax.devices()[0]
+                return cells_last.CondensedCL(*(
+                    jax.device_put(jnp.asarray(z[k]), dev)
+                    for k in cells_last.CondensedCL._fields))
+            except Exception:
+                pass
+    cpu = jax.devices("cpu")[0]
+    host_batch = jax.device_put(batch32, cpu)
+    with jax.default_device(cpu):
+        sub = _cut64_impl(host_batch, hdi=hdi, problem=problem, eta=eta,
+                          with_rhs=with_rhs, side=side)
+        sub_np = tuple(np.asarray(a) for a in sub)
+    if path is not None:
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.savez(f, **dict(zip(cells_last.CondensedCL._fields,
+                                       sub_np)))
+            os.replace(tmp, path)
+        except Exception:
+            pass
+    dev = jax.devices()[0]
+    return cells_last.CondensedCL(*(jax.device_put(jnp.asarray(a), dev)
+                                    for a in sub_np))
+
+
 def _gather_cells(mesh, geom, ids):
     """Sub-batch view of ``ids`` cells: mesh with gathered cell arrays
     (points kept whole) + gathered geometry pytree."""
@@ -486,6 +556,74 @@ def _unit_cell_condensed(hdi: HHODegreeInfo, h: float, dtype):
     hdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     out = _unit_cell_core(jnp.asarray(h, hdt), hdi)
     return tuple(a.astype(dtype) for a in out)
+
+
+@functools.lru_cache(maxsize=None)
+def _unit_recmap_host(hdi: HHODegreeInfo, h: float):
+    """Host f64 copy of multigrid._unit_recmap (the uniform cell's
+    harmonic-extension reconstruction map [rbs, nfd]) — the reference
+    the cut-aware transfer deviations are taken against."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if jax.config.jax_enable_x64:
+            out = multigrid._unit_recmap(hdi, h)
+        else:
+            try:
+                from jax.experimental import enable_x64
+                with enable_x64():
+                    out = multigrid._unit_recmap(hdi, h)
+            except Exception:
+                out = multigrid._unit_recmap(hdi, h)
+    return np.asarray(out, np.float64)
+
+
+@functools.partial(jax.jit, static_argnames=("hdi", "problem", "eta",
+                                             "side"))
+def _cut_recdev(batch32, recmap_u, *, hdi: HHODegreeInfo,
+                problem: FictdomProblem, eta: float, side: int = LOC_NEG):
+    """[rbs*nfd, Cc] deviations of each cut cell's harmonic-extension
+    reconstruction map from the uniform cell's: rec_i = oper_i @
+    [[T_i], [I]] with T_i = -ATT_i^-1 ATF_i of the Nitsche cut operator
+    (cut_hho_laplacian + cut_stabilization). These feed the cut-aware
+    MG transfer corrections (multigrid.make_reconstruction_
+    prolongation_cl ``corr``). Computed in f64 when the x64 config
+    allows (sliver ATT blocks round indefinite in f32), rounded to the
+    batch dtype for storage."""
+    from ..core.ops import robust_spd_solve
+
+    upcast = jax.config.jax_enable_x64
+    batch = _cast64(batch32) if upcast else batch32
+    oper, data = cut_methods.cut_hho_laplacian(batch, problem.ls, hdi,
+                                               side, eta=eta)
+    stab = cut_methods.cut_stabilization(batch, hdi, side)
+    lc = data + stab
+    cbs = bases.cell_basis_size(hdi.cell_degree)
+    T = -robust_spd_solve(lc[:, :cbs, :cbs], lc[:, :cbs, cbs:])
+    rec = _einsum("crt,ctn->crn", oper[:, :, :cbs], T) + oper[:, :, cbs:]
+    drec = rec - jnp.asarray(recmap_u, rec.dtype)[None]
+    Cc, rbs, nfd = drec.shape
+    out = jnp.transpose(drec, (1, 2, 0)).reshape(rbs * nfd, Cc)
+    store = jax.tree.leaves(batch32)[0].dtype
+    return out.astype(store if store in (jnp.float32, jnp.float64)
+                      else jnp.float32)
+
+
+def _level_recdev(batch, cut_ids, irr_ids, hdi: HHODegreeInfo,
+                  problem: FictdomProblem, eta: float, n: int,
+                  side: int = LOC_NEG):
+    """drec [rbs*nfd, Ci] column-aligned with ``irr_ids``: cut columns
+    carry their exact reconstruction-map deviation (_cut_recdev);
+    displaced-only columns stay zero (their operator deviates by
+    O(node displacement) — immaterial next to the Nitsche terms)."""
+    recmap_u = _unit_recmap_host(hdi, 1.0 / n)
+    d_cut = np.asarray(_cut_recdev(batch, jnp.asarray(recmap_u),
+                                   hdi=hdi, problem=problem, eta=eta,
+                                   side=side))
+    irr = np.asarray(irr_ids)
+    drec = np.zeros((d_cut.shape[0], len(irr)), d_cut.dtype)
+    pos = np.searchsorted(irr, np.asarray(cut_ids))
+    drec[:, pos] = d_cut
+    return jax.device_put(jnp.asarray(drec), jax.devices()[0])
 
 
 @functools.lru_cache(maxsize=None)
@@ -788,7 +926,7 @@ def _assemble_level_uniform_lean(mesh, geom, cell_loc, batch, dist_ids,
     return _set_cells_lean(ucond, S_u_cl, irr_ids, batch.ids, cut_cond)
 
 
-_MGLEVEL_CACHE_V = "v1"
+_MGLEVEL_CACHE_V = "v2"   # v2: + drec (cut-aware transfer deviations)
 
 
 def _coarse_cache_file(n: int, hdi: HHODegreeInfo, eta: float,
@@ -833,24 +971,37 @@ def build_coarse_level(n: int, hdi: HHODegreeInfo,
                 z = np.load(path)
                 dev = jax.devices()[0]
                 dS = jax.device_put(jnp.asarray(z["dS"]), dev)
+                drec = (jax.device_put(jnp.asarray(z["drec"]), dev)
+                        if "drec" in z else None)
                 cond = cells_last.UniformCondCL(dS, None, None, None,
                                                 None)
                 return LevelData(None, None, np.asarray(z["cut_ids"]),
                                  cond, np.asarray(z["S_u"], np.float64),
-                                 np.asarray(z["irr_ids"]), None, None)
+                                 np.asarray(z["irr_ids"]), None, None,
+                                 drec)
             except Exception:
                 pass
     lev = build_level(n, hdi, problem, eta, int_refsteps, mixed,
                       use_pallas=False, with_rhs=False, fitted="lean")
+    # drec feeds only the experimental 'cut' transfer mode; on remote
+    # backends its per-size jit would cost setup minutes, so gate it
+    # (CPU computes it always — the accuracy/regression tests use it)
+    if not on_host or os.environ.get("PROTON_MG_CUTTRANSFER") == "1":
+        drec = _level_recdev(lev.batch, lev.cut_ids, lev.irr_ids, hdi,
+                             problem, eta, n)
+        lev = lev._replace(drec=drec)
     if path is not None:
         try:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = f"{path}.tmp{os.getpid()}"
+            extra = {} if lev.drec is None else \
+                {"drec": np.asarray(lev.drec)}
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(tmp, "wb") as f:
                 np.savez(f, dS=np.asarray(lev.cond.dS),
                          S_u=np.asarray(lev.S_u, np.float64),
                          irr_ids=np.asarray(lev.irr_ids),
-                         cut_ids=np.asarray(lev.cut_ids))
+                         cut_ids=np.asarray(lev.cut_ids), **extra)
             os.replace(tmp, path)
         except Exception:
             pass
@@ -967,6 +1118,7 @@ def solve_fictdom_structured(
         cheb_ops: str = "exact", patch_sweeps: int = 1,
         cg_f64: Optional[bool] = None, cg_segment: int = 0,
         compute_h1: bool = True, fitted: str = "uniform",
+        mg_transfer: str = "uniform", mg_deflate: int = 0,
         side: int = LOC_NEG) -> StructuredFictdomResult:
     """End-to-end fictdom solve on the generated N x N mesh (module
     docstring). ``precond``: 'mg' (reconstruction-transfer V-cycle,
@@ -990,7 +1142,14 @@ def solve_fictdom_structured(
     ``cg_segment``: run the PCG as warm-started segments of this many
     iterations, recomputing the true residual between segments — the
     pure-f32 cure for the same stagnation (the TPU faults on large
-    emulated-f64 loop ops at 1024^2, so cg_f64 cannot run there)."""
+    emulated-f64 loop ops at 1024^2, so cg_f64 cannot run there).
+
+    ``mg_transfer``: 'uniform' (the reconstruction-transfer stencils),
+    'smoothed' (operator-smoothed pair, multigrid._smooth_transfer_pair),
+    or 'cut' (per-cut-cell Nitsche harmonic-extension corrections —
+    measured WORSE than uniform: the sliver reconstructions deviate up
+    to 27x the uniform map and inject wild values; kept for
+    experimentation)."""
     if problem is None:
         problem = default_problem()
     if mixed is None:
@@ -1045,19 +1204,26 @@ def solve_fictdom_structured(
         mg_smoother=mg_smoother, cheb_degree=cheb_degree,
         patch_colors=patch_colors, cheb_ops=cheb_ops,
         patch_sweeps=patch_sweeps,
+        smooth_transfers=mg_transfer == "smoothed",
+        deflate_K=mg_deflate,
         uniform_levels=uniform_static(levels),
         cg_f64=(jax.config.jax_enable_x64 and not mg_f32 and
                 not cg_segment
                 if cg_f64 is None else cg_f64))
     S_list = tuple(S_levels[n] for n in sizes)
+    drec_list = None
+    if precond == "mg" and mg_transfer == "cut":
+        dl = tuple(levels[n].drec for n in sizes)
+        if any(d is not None for d in dl):
+            drec_list = dl
     if not cg_segment:
         local, _, iters, exit_reason, rel, _ = _solve_jit(
             fine.mesh, dofmap, fine.cond, S_list, cg_params=cg_params,
-            **kw)
+            drec_list=drec_list, **kw)
     else:
         local, iters, exit_reason, rel = solve_segments(
             fine.mesh, dofmap, fine.cond, S_list, cg_params, cg_segment,
-            kw)
+            kw, drec_list=drec_list)
     jax.block_until_ready(local)
     timings["solve_s"] = time.perf_counter() - t0
 
@@ -1105,13 +1271,15 @@ def uniform_static(levels: dict):
                                              "cheb_degree",
                                              "patch_colors",
                                              "uniform_levels",
-                                             "cheb_ops"))
-def _mg_setup_jit(S_list, *, sizes, hdi, cut_levels, mg_coarsest,
-                  cheb_degree, patch_colors=1, uniform_levels=None,
-                  cheb_ops="exact"):
+                                             "cheb_ops", "deflate_K"))
+def _mg_setup_jit(S_list, drec_list=None, *, sizes, hdi, cut_levels,
+                  mg_coarsest, cheb_degree, patch_colors=1,
+                  uniform_levels=None, cheb_ops="exact", deflate_K=0):
     S_levels = dict(zip(sizes, S_list))
     cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
     fbs = bases.face_basis_size(hdi.face_degree)
+    rec_dev = (None if drec_list is None
+               else dict(zip(sizes, drec_list)))
     return multigrid.mg_setup_cl(max(sizes), fbs, S_levels, hdi,
                                  coarsest=mg_coarsest,
                                  cut_ids_per_level=cuts,
@@ -1119,7 +1287,9 @@ def _mg_setup_jit(S_list, *, sizes, hdi, cut_levels, mg_coarsest,
                                  patch_colors=patch_colors,
                                  uniform_per_level=_uniform_unpack(
                                      uniform_levels),
-                                 cheb_ops=cheb_ops)
+                                 cheb_ops=cheb_ops,
+                                 rec_dev_per_level=rec_dev,
+                                 deflate_K=deflate_K)
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem",
@@ -1147,11 +1317,14 @@ def _rhs_jit(mesh, dofmap, cond, *, sizes, hdi, problem,
                                              "n_smooth", "cheb_degree",
                                              "patch_colors", "cg_params",
                                              "uniform_levels",
-                                             "cheb_ops", "patch_sweeps"))
+                                             "cheb_ops", "patch_sweeps",
+                                             "smooth_transfers",
+                                             "deflate_K"))
 def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
                 cut_levels, mg_coarsest, n_smooth, cheb_degree,
                 cg_params, patch_colors=1, uniform_levels=None,
-                cheb_ops="exact", patch_sweeps=1):
+                cheb_ops="exact", patch_sweeps=1,
+                smooth_transfers=False, deflate_K=0):
     N = max(sizes)
     fbs = bases.face_basis_size(hdi.face_degree)
     sys_f = structured.make_structured_system(N, N, fbs)
@@ -1172,7 +1345,8 @@ def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
         n_smooth=n_smooth, cheb_degree=cheb_degree,
         patch_colors=patch_colors, hdi=hdi,
         uniform_per_level=uni, cheb_ops=cheb_ops,
-        patch_sweeps=patch_sweeps)
+        patch_sweeps=patch_sweeps,
+        smooth_transfers=smooth_transfers)
     res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
                                  precond=precond, x0=x0, nr0=nr0)
     nr0_out = jnp.sqrt(sum(jnp.vdot(l, l).real for l in
@@ -1215,13 +1389,15 @@ def segments_static(kw: dict) -> dict:
                 cheb_degree=kw.get("cheb_degree", 4),
                 patch_colors=kw.get("patch_colors", 1),
                 uniform_levels=kw.get("uniform_levels"),
-                cheb_ops=kw.get("cheb_ops", "exact"))
+                cheb_ops=kw.get("cheb_ops", "exact"),
+                deflate_K=kw.get("deflate_K", 0))
 
 
-_MGDATA_CACHE_V = "v1"
+_MGDATA_CACHE_V = "v2"    # v2: + recdev (cut-aware transfers)
 
 
-def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem):
+def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
+                    drec_list=None):
     """_mg_setup_jit with an on-disk cache of the RESULT arrays.
 
     The MGDataCL pytree is O(band) small (per-level dS, bj corrections,
@@ -1241,7 +1417,7 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem):
     cache_mode = os.environ.get("PROTON_SETUP_CACHE", "1")
     if problem.cache_key is None or not (
             cache_mode == "force" or (on_host and cache_mode == "1")):
-        return _mg_setup_jit(S_list, **stat)
+        return _mg_setup_jit(S_list, drec_list, **stat)
 
     fp = hashlib.sha1()
     fp.update(f"{_MGDATA_CACHE_V}|{problem.cache_key}|".encode())
@@ -1251,6 +1427,10 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem):
     fp.update(str(Sf.shape).encode())
     fp.update(str(Sf.dtype).encode())
     fp.update(Sf.tobytes())
+    # drec values are a pure function of (geometry, stat); shapes pin
+    # presence + per-level sizes
+    fp.update(repr([None if d is None else tuple(d.shape)
+                    for d in (drec_list or [])]).encode())
     d = os.environ.get("PROTON_SETUP_CACHE_DIR")
     if d is None:
         d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -1267,7 +1447,7 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem):
                 if isinstance(a, np.ndarray) else a, host)
         except Exception:
             pass
-    mgdata = _mg_setup_jit(S_list, **stat)
+    mgdata = _mg_setup_jit(S_list, drec_list, **stat)
     try:
         host = jax.tree.map(lambda a: np.asarray(jax.device_get(a)),
                             mgdata)
@@ -1282,7 +1462,7 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem):
 
 
 def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
-                   kw: dict, pre=None):
+                   kw: dict, pre=None, drec_list=None):
     """Host loop of warm-started CG segments with the true residual
     recomputed at every boundary. The MG setup (patch inversions,
     lambda_max power iterations, transfer stencils, the dense coarse
@@ -1299,7 +1479,7 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
         while True:
             local, x, it, ex, rel, nr0 = _solve_jit(
                 mesh, dofmap, cond, S_list, x0=x, nr0=nr0,
-                cg_params=seg_params, **kw)
+                drec_list=drec_list, cg_params=seg_params, **kw)
             total += int(it)
             ex = int(ex)
             if ex in (cg.CONVERGED, cg.DIVERGED) or \
@@ -1313,7 +1493,7 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
     if pre is not None:
         mgdata, rhs, gF_cl = pre
     else:
-        mgdata = mg_setup_cached(S_list, stat, kw["problem"])
+        mgdata = mg_setup_cached(S_list, stat, kw["problem"], drec_list)
         rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
                               problem=kw["problem"],
                               uniform_levels=stat["uniform_levels"])
@@ -1326,6 +1506,7 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
             S_fine, mgdata, rhs, x, nr0,
             n_smooth=kw.get("n_smooth", 1),
             patch_sweeps=kw.get("patch_sweeps", 1),
+            smooth_transfers=kw.get("smooth_transfers", False),
             cg_params=seg_params, **stat)
         total += int(it)
         ex = int(ex)
@@ -1345,13 +1526,17 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
                                              "patch_colors", "cg_params",
                                              "uniform_levels",
                                              "cheb_ops",
-                                             "patch_sweeps"))
-def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
+                                             "patch_sweeps",
+                                             "smooth_transfers",
+                                             "deflate_K"))
+def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None,
+               drec_list=None, *, sizes,
                hdi, problem,
                precond, cut_levels, mg_coarsest, n_smooth, cg_params,
                mg_f32=False, mg_smoother="chebyshev", cheb_degree=4,
                cg_f64=False, patch_colors=1, uniform_levels=None,
-               cheb_ops="exact", patch_sweeps=1):
+               cheb_ops="exact", patch_sweeps=1,
+               smooth_transfers=False, deflate_K=0):
     """One compiled graph: Dirichlet fold, MG build (all setup math is
     traced), PCG, cell recovery. S_list: S_cl arrays matching the static
     ``sizes`` (ascending); the largest is the fine level.
@@ -1434,16 +1619,44 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None, *, sizes,
             smoother=mg_smoother, cheb_degree=cheb_degree,
             patch_colors=patch_colors, layout="cl",
             uniform_per_level=uni, cheb_ops=cheb_ops,
-            patch_sweeps=patch_sweeps)
+            patch_sweeps=patch_sweeps,
+            rec_dev_per_level=(None if drec_list is None
+                               else dict(zip(sizes, drec_list))),
+            smooth_transfers=smooth_transfers)
+        if deflate_K > 0 and len(cuts.get(N, ())) > 0:
+            # interface-band deflation: additive coarse correction of
+            # the band-tangential smooth modes (multigrid module
+            # section comment), in the V-cycle's dtype
+            SN = mg_S[N]
+            mg_dt = SN.dtype
+            if uni is not None and N in uni:
+                S_uN, irrN = uni[N]
+                lean_N = SN.shape[1] == len(irrN) and len(irrN) != N * N
+                dSN = SN if lean_N else cells_last.uniform_deltas(
+                    SN, S_uN.astype(mg_dt), irrN)
+                op_defl = cells_last.make_uniform_operator_cl(
+                    sys_f, S_uN.astype(mg_dt), irrN, dSN)
+            else:
+                op_defl = cells_last.make_structured_operator_cl(sys_f,
+                                                                 SN)
+            _, defl = multigrid.make_band_deflation(
+                sys_f, op_defl, cuts[N], deflate_K, mg_dt)
+            _base_pre = mg.precondition
+
+            def _mg_pre(r):
+                return jax.tree.map(lambda a, b: a + b, _base_pre(r),
+                                    defl(r))
+        else:
+            _mg_pre = mg.precondition
         if mg_f32 and Sdt != jnp.float32:
             dt = Sdt
 
-            def precondition(r, _mg=mg, _dt=dt):
+            def precondition(r, _mg_pre=_mg_pre, _dt=dt):
                 r32 = jax.tree.map(lambda a: a.astype(jnp.float32), r)
-                z32 = _mg.precondition(r32)
+                z32 = _mg_pre(r32)
                 return jax.tree.map(lambda a: a.astype(_dt), z32)
         else:
-            precondition = mg.precondition
+            precondition = _mg_pre
         res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
                                      precond=_prec64(precondition),
                                      x0=x0, nr0=nr0)

@@ -129,6 +129,19 @@ def _transfer_slot_matrices(hdi, h: float, dtype):
     stabilization scales as 1/h against the O(1) reconstruction term, so
     the harmonic extension T depends on h — compute per level.
     """
+    PH, PV = _transfer_face_projectors(hdi, h)
+    recmap = _unit_recmap(hdi, h)
+    MH = jnp.einsum("rcfb,bn->rcfn", PH, recmap)
+    MV = jnp.einsum("rcfb,bn->rcfn", PV, recmap)
+    return MH.astype(dtype), MV.astype(dtype)
+
+
+def _unit_recmap(hdi, h: float):
+    """Harmonic-extension reconstruction map [rbs, nfd] of the uniform
+    square cell of side ``h``: coarse face dofs -> cell extension
+    u_T = -A_TT^-1 A_TF u_F -> full degree-(k+1) reconstruction (constant
+    closed by the cell mean). The per-cell half of the transfer stencils;
+    cut-aware transfers replace it by each irregular cell's own map."""
     from ..core import bases, quadrature
     from ..core.geometry import cell_geometry
     from ..core.mesh import make_quad_mesh
@@ -165,15 +178,33 @@ def _transfer_slot_matrices(hdi, h: float, dtype):
         jnp.eye(cbs, dtype=lc.dtype))
     r0 = (m[:cbs] @ Icbs - m[1:] @ R1) / m[0]                # [d]
     Rfull = jnp.concatenate([r0[None, :], R1], axis=0)       # [rbs, d]
-    recmap = Rfull @ Vmap                                    # [rbs, nfd]
+    return Rfull @ Vmap                                      # [rbs, nfd]
 
+
+def _transfer_face_projectors(hdi, h: float):
+    """Trace projections (PH [3, 2, fbs, rbs], PV [2, 3, fbs, rbs]) of
+    the degree-(k+1) cell basis of one coarse square cell of side ``h``
+    (anchored at the origin; translation-invariant by the (p - bar)/(h/2)
+    basis scaling) onto its 12 fine sub-faces: PH[r, c] maps
+    reconstruction coefficients to the face-basis L2 projection on the
+    horizontal fine face at height r*h/2, column c. The geometric half of
+    the transfer stencils: M_slot = P_slot @ recmap."""
+    from ..core import bases, quadrature
+    from ..core.geometry import cell_geometry
+    from ..core.mesh import make_quad_mesh
+
+    mesh_c = make_quad_mesh(Nx=1, Ny=1, min_x=0.0, max_x=h,
+                            min_y=0.0, max_y=h)
+    geom_c = cell_geometry(mesh_c)
+    recdeg = hdi.reconstruction_degree
     bar_c, diam_c = geom_c.bar[0], geom_c.diam[0]
+    dt = mesh_c.points.dtype
 
-    def face_matrix(p0, p1):
+    def face_proj(p0, p1):
         # p0 is the sorted-ptid endpoint (left for H faces, bottom for V),
         # matching the generator's face-basis orientation.
-        p0 = jnp.asarray(p0, lc.dtype)
-        p1 = jnp.asarray(p1, lc.dtype)
+        p0 = jnp.asarray(p0, dt)
+        p1 = jnp.asarray(p1, dt)
         frule = quadrature.face_rule(p0, p1, hdi.face_degree + recdeg)
         fbar = 0.5 * (p0 + p1)
         fphi = bases.eval_face_basis(frule.pts, fbar, fbar - p0,
@@ -183,16 +214,16 @@ def _transfer_slot_matrices(hdi, h: float, dtype):
         Mf = jnp.einsum("q,qi,qj->ij", frule.w, fphi, fphi)
         B = jnp.einsum("q,qi,qr->ir", frule.w, fphi, rphiF)
         cf = jnp.linalg.cholesky(Mf)             # SPD face mass matrix
-        return jax.scipy.linalg.cho_solve((cf, True), B) @ recmap
+        return jax.scipy.linalg.cho_solve((cf, True), B)
 
     hh = h / 2.0
-    MH = jnp.stack([
-        jnp.stack([face_matrix((c * hh, r * hh), ((c + 1) * hh, r * hh))
+    PH = jnp.stack([
+        jnp.stack([face_proj((c * hh, r * hh), ((c + 1) * hh, r * hh))
                    for c in range(2)]) for r in range(3)])
-    MV = jnp.stack([
-        jnp.stack([face_matrix((c * hh, r * hh), (c * hh, (r + 1) * hh))
+    PV = jnp.stack([
+        jnp.stack([face_proj((c * hh, r * hh), (c * hh, (r + 1) * hh))
                    for c in range(3)]) for r in range(2)])
-    return MH.astype(dtype), MV.astype(dtype)
+    return PH, PV
 
 
 def make_reconstruction_prolongation(sys_f: StructuredFaceSystem,
@@ -245,16 +276,36 @@ def make_reconstruction_prolongation(sys_f: StructuredFaceSystem,
 def make_reconstruction_prolongation_cl(sys_f: StructuredFaceSystem,
                                         sys_c: StructuredFaceSystem,
                                         hdi, h_coarse: float,
-                                        dtype=jnp.float32, mats=None):
+                                        dtype=jnp.float32, mats=None,
+                                        corr=None):
     """Cells-last variant of make_reconstruction_prolongation (operates on
     cells_last.GridVecCL grids). ``mats``: precomputed (MH, MV) transfer
-    matrices (mg_setup_cl passes them across the jit boundary)."""
+    matrices (mg_setup_cl passes them across the jit boundary).
+
+    ``corr``: optional CUT-AWARE correction (ids, drec, PH, PV) — the
+    static coarse irregular-cell ids, their reconstruction-map deviations
+    drec [rbs*nfd, Ci] (cells-last; each irregular cell's own Nitsche
+    harmonic-extension reconstruction minus the uniform one,
+    fictdom_structured._level_recdev), and the face trace projectors of
+    _transfer_face_projectors. The prolonged value at each of the 12 fine
+    faces of an irregular coarse cell gains P_slot @ drec_i @ xl_i
+    (skeleton slots at the prolongation's 0.5 averaging weight), making
+    the transfer the exact harmonic-extension interpolation of the CUT
+    operator along the band — the O(1) transfer error at the interface
+    was the diagnosed cause of the MG iteration growth in N."""
     from ..methods.cells_last import GridVecCL, grid_gather_cl
 
     fbs = sys_f.fbs
     assert sys_f.Nx == 2 * sys_c.Nx and sys_f.Ny == 2 * sys_c.Ny
     MH, MV = mats if mats is not None else \
         _transfer_slot_matrices(hdi, h_coarse, dtype)
+    if corr is not None:
+        ids, drec, PHc, PVc = corr
+        ids_np = np.asarray(ids)
+        cjj = jnp.asarray(ids_np // sys_c.Nx, jnp.int32)
+        cii = jnp.asarray(ids_np % sys_c.Nx, jnp.int32)
+        rbs = PHc.shape[-1]
+        nfd = 4 * fbs
 
     def prolong(xc: "GridVecCL") -> "GridVecCL":
         Nyc, Nxc = sys_c.Ny, sys_c.Nx
@@ -283,6 +334,22 @@ def make_reconstruction_prolongation_cl(sys_f: StructuredFaceSystem,
                        jnp.concatenate([zcol, right], axis=2))
         V = jnp.zeros((fbs, 2 * Nyc, 2 * Nxc + 1), left.dtype)
         V = V.at[:, :, 0::2].set(Veven).at[:, :, 1::2].set(mid_v)
+
+        if corr is not None and ids_np.shape[0] > 0:
+            xli = xl[:, cjj, cii]                        # [nfd, Ci]
+            dv = jnp.stack([                             # [rbs, Ci]
+                sum(drec[r * nfd + n] * xli[n] for n in range(nfd))
+                for r in range(rbs)])
+            for r in range(3):
+                w = 0.5 if r != 1 else 1.0
+                for c in range(2):
+                    add = w * jnp.einsum("fb,bi->fi", PHc[r, c], dv)
+                    H = H.at[:, 2 * cjj + r, 2 * cii + c].add(add)
+            for rr in range(2):
+                for c in range(3):
+                    w = 0.5 if c != 1 else 1.0
+                    add = w * jnp.einsum("fb,bi->fi", PVc[rr, c], dv)
+                    V = V.at[:, 2 * cjj + rr, 2 * cii + c].add(add)
 
         return GridVecCL(H * sys_f.freeH[None], V * sys_f.freeV[None])
 
@@ -346,7 +413,8 @@ def make_chebyshev_smoother(apply_A, precond, lam_max, degree: int = 4,
 def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
                                        sys_c: StructuredFaceSystem,
                                        hdi, h_coarse: float,
-                                       dtype=jnp.float32, mats=None):
+                                       dtype=jnp.float32, mats=None,
+                                       corr=None):
     """EXPLICIT adjoint of make_reconstruction_prolongation_cl, written
     as a stencil: per coarse cell, gather its 12 fine-face cotangents by
     strided slicing (skeleton faces carry the prolongation's 0.5
@@ -365,6 +433,14 @@ def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
     MH, MV = mats if mats is not None else \
         _transfer_slot_matrices(hdi, h_coarse, dtype)
     Nyc, Nxc = sys_c.Ny, sys_c.Nx
+    if corr is not None:
+        # exact adjoint of the prolongation's cut-aware correction
+        ids, drec, PHc, PVc = corr
+        ids_np = np.asarray(ids)
+        cjj = jnp.asarray(ids_np // sys_c.Nx, jnp.int32)
+        cii = jnp.asarray(ids_np % sys_c.Nx, jnp.int32)
+        rbs = PHc.shape[-1]
+        nfd = 4 * fbs
 
     def restrict(rf: "GridVecCL") -> "GridVecCL":
         # adjoint of the prolongation's final masking: mask the input
@@ -391,8 +467,27 @@ def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
         # accumulation is the scatter-free concatenation add
         a = jnp.einsum("rcfn,fYXrc->nYX", MH, fh)
         b = jnp.einsum("rcfn,fYrXc->nYX", MV, fv)
-        contrib = (a + b).reshape(4 * fbs, Nyc * Nxc)
-        return grid_scatter_cl(sys_c, contrib)
+        contrib = a + b                         # [nfd, Nyc, Nxc]
+
+        if corr is not None and ids_np.shape[0] > 0:
+            s = 0.0
+            for r in range(3):
+                w = 0.5 if r != 1 else 1.0
+                for c in range(2):
+                    rslot = H[:, 2 * cjj + r, 2 * cii + c]   # [fbs, Ci]
+                    s = s + w * jnp.einsum("fb,fi->bi", PHc[r, c], rslot)
+            for rr in range(2):
+                for c in range(3):
+                    w = 0.5 if c != 1 else 1.0
+                    rslot = V[:, 2 * cjj + rr, 2 * cii + c]
+                    s = s + w * jnp.einsum("fb,fi->bi", PVc[rr, c], rslot)
+            dcot = jnp.stack([                   # [nfd, Ci]
+                sum(drec[r * nfd + n] * s[r] for r in range(rbs))
+                for n in range(nfd)])
+            contrib = contrib.at[:, cjj, cii].add(dcot)
+
+        return grid_scatter_cl(sys_c, contrib.reshape(4 * fbs,
+                                                      Nyc * Nxc))
 
     return restrict
 
@@ -406,6 +501,133 @@ def _mg_sizes(N: int, coarsest: int):
             break
         n //= 2
     return sizes
+
+
+# ---------------------------------------------------------------------------
+# Interface-band deflation space
+#
+# The V-cycle's stubborn error components on cut problems are SMOOTH ALONG
+# the interface band: the patch/Chebyshev smoothers are local (they damp
+# oscillatory band modes) and the rediscretized coarse level cuts the
+# circle at different offsets, so its correction for band-tangential
+# smooth modes degrades as N grows — the measured iteration growth
+# (17 -> 32 -> 59 -> ... doubling N). A small auxiliary space B of
+# Fourier modes in the interface angle, supported on the band faces'
+# constant components, captures exactly those modes; the additive
+# coarse correction z += B (B^T A B)^-1 B^T r (two-level additive
+# Schwarz) removes them at O(m^2) cost per apply, m = 2K+1 modes.
+# ---------------------------------------------------------------------------
+
+
+def band_face_features(n: int, cut_ids, K: int):
+    """STATIC (host) deflation basis over the free faces of the cut
+    cells on the n x n unit-square grid: ((hj, hi, Wh), (vj, vi, Wv))
+    with W* [nface, 2K+1] Fourier features [1, cos k\\theta, sin k\\theta]
+    of the face-center angle around the band centroid (valid for
+    star-shaped interfaces; the bench geometries — circle, flower —
+    qualify). Rows are scaled by 1/sqrt(nface) for conditioning."""
+    ids = np.asarray(cut_ids)
+    jj, ii = ids // n, ids % n
+    hkey = np.unique(np.concatenate([jj * n + ii, (jj + 1) * n + ii]))
+    hfree = (hkey // n != 0) & (hkey // n != n)
+    hkey = hkey[hfree]
+    W = n + 1
+    vkey = np.unique(np.concatenate([jj * W + ii, jj * W + ii + 1]))
+    vfree = (vkey % W != 0) & (vkey % W != n)
+    vkey = vkey[vfree]
+    hj, hi = hkey // n, hkey % n
+    vj, vi = vkey // W, vkey % W
+    hx, hy = (hi + 0.5) / n, hj / n
+    vx, vy = vi / n, (vj + 0.5) / n
+    xc = (np.concatenate([hx, vx]).mean()
+          if len(hx) + len(vx) else 0.5)
+    yc = (np.concatenate([hy, vy]).mean()
+          if len(hy) + len(vy) else 0.5)
+
+    def feats(x, y):
+        th = np.arctan2(y - yc, x - xc)
+        cols = [np.ones_like(th)]
+        for k in range(1, K + 1):
+            cols.append(np.cos(k * th))
+            cols.append(np.sin(k * th))
+        return np.stack(cols, axis=1)
+
+    nf = max(len(hj) + len(vj), 1)
+    return ((hj, hi, feats(hx, hy) / np.sqrt(nf)),
+            (vj, vi, feats(vx, vy) / np.sqrt(nf)))
+
+
+def make_band_deflation(sys_f: StructuredFaceSystem, apply_S, cut_ids,
+                        K: int, dtype, chunk: int = 16):
+    """Build the band deflation operator (module section comment):
+    returns (arrays, apply) where ``arrays`` = (Wh, Wv, G_chol) feeds
+    MGDataCL and ``apply`` is r -> B (B^T A B)^-1 B^T r. ``chunk``
+    bounds the vmapped operator applications at setup (memory)."""
+    (hj, hi, Wh), (vj, vi, Wv) = band_face_features(sys_f.Nx, cut_ids, K)
+    m = Wh.shape[1]
+    Wh_d = jnp.asarray(Wh, dtype)
+    Wv_d = jnp.asarray(Wv, dtype)
+    hj_d, hi_d = jnp.asarray(hj, jnp.int32), jnp.asarray(hi, jnp.int32)
+    vj_d, vi_d = jnp.asarray(vj, jnp.int32), jnp.asarray(vi, jnp.int32)
+
+    from ..methods.cells_last import GridVecCL
+
+    def B(y):
+        H = jnp.zeros((sys_f.fbs, sys_f.Ny + 1, sys_f.Nx), dtype)
+        V = jnp.zeros((sys_f.fbs, sys_f.Ny, sys_f.Nx + 1), dtype)
+        H = H.at[0, hj_d, hi_d].add(Wh_d @ y)
+        V = V.at[0, vj_d, vi_d].add(Wv_d @ y)
+        return GridVecCL(H * sys_f.freeH[None], V * sys_f.freeV[None])
+
+    def Bt(r):
+        return Wh_d.T @ r.H[0, hj_d, hi_d] + Wv_d.T @ r.V[0, vj_d, vi_d]
+
+    # G = B^T A B via chunked vmapped operator columns
+    eye = jnp.eye(m, dtype=dtype)
+    cols = []
+    for s in range(0, m, chunk):
+        block = eye[s:s + chunk]
+        cols.append(jax.vmap(lambda y: Bt(apply_S(B(y))))(block))
+    G = jnp.concatenate(cols, axis=0).T
+    shift = 100.0 * float(jnp.finfo(dtype).eps) / m
+    G = 0.5 * (G + G.T) + shift * jnp.trace(G) * jnp.eye(m, dtype=dtype)
+    G_chol = jnp.linalg.cholesky(G)
+
+    def apply(r):
+        y = jax.scipy.linalg.cho_solve((G_chol, True), Bt(r)[:, None])
+        return B(y[:, 0])
+
+    return (Wh_d, Wv_d, G_chol), apply
+
+
+def make_band_deflation_apply(sys_f: StructuredFaceSystem, cut_ids,
+                              arrays):
+    """Re-materialize the deflation apply from precomputed MGDataCL
+    arrays (the static cut_ids regenerate the face index sets)."""
+    Wh_d, Wv_d, G_chol = arrays
+    K = (Wh_d.shape[1] - 1) // 2
+    (hj, hi, _), (vj, vi, _) = band_face_features(sys_f.Nx, cut_ids, K)
+    hj_d, hi_d = jnp.asarray(hj, jnp.int32), jnp.asarray(hi, jnp.int32)
+    vj_d, vi_d = jnp.asarray(vj, jnp.int32), jnp.asarray(vi, jnp.int32)
+    dtype = Wh_d.dtype
+
+    from ..methods.cells_last import GridVecCL
+
+    def B(y):
+        H = jnp.zeros((sys_f.fbs, sys_f.Ny + 1, sys_f.Nx), dtype)
+        V = jnp.zeros((sys_f.fbs, sys_f.Ny, sys_f.Nx + 1), dtype)
+        H = H.at[0, hj_d, hi_d].add(Wh_d @ y)
+        V = V.at[0, vj_d, vi_d].add(Wv_d @ y)
+        return GridVecCL(H * sys_f.freeH[None], V * sys_f.freeV[None])
+
+    def Bt(r):
+        return Wh_d.T @ r.H[0, hj_d, hi_d] + Wv_d.T @ r.V[0, vj_d, vi_d]
+
+    def apply(r):
+        y = jax.scipy.linalg.cho_solve((G_chol, True), Bt(r)[:, None])
+        return B(y[:, 0])
+
+    return apply
 
 
 class MGDataCL(NamedTuple):
@@ -429,6 +651,12 @@ class MGDataCL(NamedTuple):
     #                    checkerboard multiplicative), () w/o cut cells
     transfers: tuple   # per gap (MH, MV) transfer-matrix stencils
     coarse_chol: jnp.ndarray
+    recdev: tuple = () # per gap: None or (drec [rbs*nfd, Ci], PH, PV) —
+    #                    the cut-aware transfer correction of the gap's
+    #                    COARSE level (ids travel statically via
+    #                    uniform_per_level)
+    deflate: tuple = ()  # () or (Wh, Wv, G_chol): fine-level interface-
+    #                      band deflation space (make_band_deflation)
 
 
 def _uniform_su(uniform_per_level, n):
@@ -467,21 +695,27 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
                 coarsest: int = 8, cut_ids_per_level=None,
                 cheb_degree: int = 4, patch_colors: int = 1,
                 uniform_per_level=None,
-                cheb_ops: str = "exact") -> MGDataCL:
+                cheb_ops: str = "exact",
+                rec_dev_per_level=None,
+                deflate_K: int = 0) -> MGDataCL:
     """Compute every array the Chebyshev-smoothed cells-last V-cycle
     needs (see MGDataCL). Pure function of the S arrays — jit it with
     S as arguments (closures over big arrays break the axon remote
     compile). ``uniform_per_level`` ({n: (S_u [nfd, nfd] numpy,
     irregular ids numpy)}, static) switches level n to the
     constant-stencil decomposition. ``cheb_ops`` picks the smoother's
-    operator pair (_cheb_op_pair); the lambda_max estimate matches."""
+    operator pair (_cheb_op_pair); the lambda_max estimate matches.
+    ``rec_dev_per_level`` ({n: drec [rbs*nfd, Ci] device arrays,
+    column-aligned with level n's irregular ids}) enables the cut-aware
+    transfer corrections on every gap whose coarse level has an entry."""
     from ..methods import cells_last as cl
 
     sizes = _mg_sizes(N, coarsest)
     systems = {n: make_structured_system(n, n, fbs) for n in sizes}
     dtype = S_per_level[N].dtype
 
-    S_t, bj_t, lam_t, patch_t, trans_t = [], [], [], [], []
+    S_t, bj_t, lam_t, patch_t, trans_t, recdev_t = [], [], [], [], [], []
+    deflate_arrays = ()
     for i, n in enumerate(sizes):
         sys_n = systems[n]
         S_n = S_per_level[n]
@@ -517,6 +751,9 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
         lam_t.append(estimate_lambda_max(apply_sm, base_sm, like))
         ids = None if cut_ids_per_level is None else \
             cut_ids_per_level.get(n, None)
+        if i == 0 and deflate_K > 0 and ids is not None and len(ids):
+            deflate_arrays, _ = make_band_deflation(sys_n, apply_S, ids,
+                                                    deflate_K, dtype)
         if ids is not None and len(ids) > 0:
             cols = []
             for g in cl.patch_color_groups(ids, n, patch_colors):
@@ -532,6 +769,13 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
             nc = sizes[i + 1]
             trans_t.append(_transfer_slot_matrices(hdi, domain / nc,
                                                    dtype))
+            if rec_dev_per_level is not None and \
+                    rec_dev_per_level.get(nc) is not None:
+                PHc, PVc = _transfer_face_projectors(hdi, domain / nc)
+                recdev_t.append((rec_dev_per_level[nc].astype(dtype),
+                                 PHc.astype(dtype), PVc.astype(dtype)))
+            else:
+                recdev_t.append(None)
 
     # densify + factor the coarsest operator
     nco = sizes[-1]
@@ -553,7 +797,28 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
     Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
     chol = jnp.linalg.cholesky(Ac)
     return MGDataCL(tuple(S_t), tuple(bj_t), tuple(lam_t),
-                    tuple(patch_t), tuple(trans_t), chol)
+                    tuple(patch_t), tuple(trans_t), chol,
+                    tuple(recdev_t), tuple(deflate_arrays))
+
+
+def _smooth_transfer_pair(prol, restrict, apply_S, base, lam):
+    """Operator-smoothed transfer pair (smoothed-aggregation style):
+    P' = (I - omega M^-1 A) P with omega = 4/(3 lambda_max(M^-1 A)),
+    R' = R (I - omega A M^-1) — the exact adjoint since A and M are
+    symmetric. One extra fine operator + base-preconditioner apply per
+    transfer; damps the prolonged correction's high-frequency energy
+    (the component the uniform stencil gets O(1) wrong along the cut
+    band) without ever forming explicit wide stencils."""
+    def prol_s(xc):
+        p = prol(xc)
+        om = 4.0 / (3.0 * lam)
+        return _tree_axpby(1.0, p, -om, base(apply_S(p)))
+
+    def restrict_s(rf):
+        om = 4.0 / (3.0 * lam)
+        return restrict(_tree_axpby(1.0, rf, -om, apply_S(base(rf))))
+
+    return prol_s, restrict_s
 
 
 def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
@@ -561,11 +826,15 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
                        n_smooth: int = 1, cheb_degree: int = 4,
                        patch_colors: int = 1,
                        hdi=None, uniform_per_level=None,
-                       cheb_ops: str = "exact", patch_sweeps: int = 1):
+                       cheb_ops: str = "exact", patch_sweeps: int = 1,
+                       smooth_transfers: bool = False):
     """Apply the V-cycle from precomputed MGDataCL arrays (the pure-
     function twin of Multigrid.precondition; cut ids are static).
     ``uniform_per_level`` and ``cheb_ops`` must match the mg_setup_cl
-    call."""
+    call. ``smooth_transfers`` wraps every transfer pair in
+    _smooth_transfer_pair. If ``data.deflate`` is non-empty the
+    interface-band coarse correction is added (additive two-level
+    Schwarz, SPD)."""
     from ..methods import cells_last as cl
 
     sizes = _mg_sizes(N, coarsest)
@@ -599,12 +868,20 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
                 for g, blk in zip(groups, data.patch[i])) * patch_sweeps
         if i + 1 < len(sizes):
             nc = sizes[i + 1]
+            corr = None
+            rd = data.recdev[i] if i < len(data.recdev) else None
+            if rd is not None:
+                _, irr_c = _uniform_su(uniform_per_level, nc)
+                corr = (irr_c,) + tuple(rd)
             prol = make_reconstruction_prolongation_cl(
                 sys_n, systems[nc], hdi, 1.0 / nc,
-                dtype, mats=data.transfers[i])
+                dtype, mats=data.transfers[i], corr=corr)
             restrict = make_reconstruction_restriction_cl(
                 sys_n, systems[nc], hdi, 1.0 / nc,
-                dtype, mats=data.transfers[i])
+                dtype, mats=data.transfers[i], corr=corr)
+            if smooth_transfers:
+                prol, restrict = _smooth_transfer_pair(
+                    prol, restrict, apply_S, base, data.lam[i])
         else:
             prol = restrict = None
         levels.append(MGLevel(sys_n, apply_S, smoothers, prol, restrict))
@@ -613,7 +890,13 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
     mg = Multigrid(levels, data.coarse_chol,
                    ((fbs, nco + 1, nco), (fbs, nco, nco + 1)),
                    n_smooth, 0.67, "cl")
-    return mg.precondition(r)
+    z = mg.precondition(r)
+    if data.deflate:
+        defl = make_band_deflation_apply(systems[N],
+                                         cut_ids_per_level[N],
+                                         data.deflate)
+        z = jax.tree.map(lambda a, b: a + b, z, defl(r))
+    return z
 
 
 class MGLevel(NamedTuple):
@@ -694,7 +977,9 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                     cheb_degree: int = 4, patch_colors: int = 1,
                     layout: str = "rm",
                     uniform_per_level=None,
-                    cheb_ops: str = "exact") -> Multigrid:
+                    cheb_ops: str = "exact",
+                    rec_dev_per_level=None,
+                    smooth_transfers: bool = False) -> Multigrid:
     """S_per_level: dict {n: S_n [C_n, nfd, nfd]} containing the condensed
     local Schur matrices for each mesh size n = N, N/2, ..., coarsest
     (rediscretized; the caller assembles them).
@@ -826,9 +1111,20 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
             smoothers = (damped,) + tuple(patches) * patch_sweeps
         if i + 1 < len(sizes):
             nc = sizes[i + 1]
+            corr = None
+            if layout == "cl" and rec_dev_per_level is not None and \
+                    rec_dev_per_level.get(nc) is not None:
+                _, irr_c = _uniform_su(uniform_per_level, nc)
+                PHc, PVc = _transfer_face_projectors(hdi, domain / nc)
+                corr = (irr_c, rec_dev_per_level[nc].astype(dtype),
+                        PHc.astype(dtype), PVc.astype(dtype))
             if hdi is not None:
-                prol = rec_prol_fn(sys_n, systems[nc], hdi, domain / nc,
-                                   dtype)
+                if layout == "cl":
+                    prol = rec_prol_fn(sys_n, systems[nc], hdi,
+                                       domain / nc, dtype, corr=corr)
+                else:
+                    prol = rec_prol_fn(sys_n, systems[nc], hdi,
+                                       domain / nc, dtype)
             elif layout == "cl":
                 raise ValueError("layout='cl' requires hdi "
                                  "(reconstruction-based transfers)")
@@ -839,13 +1135,19 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                 # the interleaving into TPU scatters (~8 ns/element),
                 # which dominated the V-cycle at 1024^2
                 restrict = make_reconstruction_restriction_cl(
-                    sys_n, systems[nc], hdi, domain / nc, dtype)
+                    sys_n, systems[nc], hdi, domain / nc, dtype,
+                    corr=corr)
             else:
                 # restriction = exact adjoint of prolongation
                 t = jax.linear_transpose(prol, zeros_grid(nc))
 
                 def restrict(r, _t=t):
                     return _t(r)[0]
+            if smooth_transfers and layout == "cl":
+                lam_s = lam if smoother == "chebyshev" else \
+                    estimate_lambda_max(apply_S, base, zeros_grid(n))
+                prol, restrict = _smooth_transfer_pair(
+                    prol, restrict, apply_S, base, lam_s)
         else:
             prol, restrict = None, None
         levels.append(MGLevel(sys_n, apply_S, smoothers, prol,
