@@ -75,6 +75,14 @@ def main():
     precond = os.environ.get("PROTON_BENCH_PRECOND", "mg")
     want_h1 = os.environ.get("PROTON_BENCH_H1", "1") == "1"
     n_smooth = int(os.environ.get("PROTON_BENCH_NSMOOTH", "1"))
+    # Galerkin hierarchies lose rank through many composed masked
+    # transfers (the coarsest goes singular; measured 146 iters at
+    # 256^2 with coarsest 8 vs 54 with 32) — keep the dense coarsest
+    # within ~4 gaps of the fine level
+    mg_coarsest = int(os.environ.get(
+        "PROTON_BENCH_COARSEST",
+        "32" if os.environ.get("PROTON_BENCH_GALERKIN", "1") == "1"
+        else "8"))
     patch_ring = int(os.environ.get("PROTON_BENCH_RING", "1"))
     cheb_degree = int(os.environ.get("PROTON_BENCH_CHEB", "4"))
     # smoother operator pair: exact | mixed | uniform (multigrid
@@ -232,7 +240,7 @@ def main():
     if precond == "mg":
         # the preconditioner only needs the f64 cut splice where f32
         # rounds the blocks indefinite (k >= 2)
-        for n in fs._mg_sizes(N, 8)[1:]:
+        for n in fs._mg_sizes(N, mg_coarsest)[1:]:
             lev = fs.build_coarse_level(n, hdi, problem, eta,
                                         int_refsteps=4,
                                         mixed=_MIXED and k >= 2)
@@ -242,13 +250,15 @@ def main():
 
     sizes = tuple(sorted(S_levels))
     S_list = tuple(S_levels[n] for n in sizes)
+    use_gal = precond == "mg" and len(sizes) > 1 and \
+        os.environ.get("PROTON_BENCH_GALERKIN", "1") == "1"
     cut_static = tuple(
         (n, tuple(int(i) for i in fs.expand_ring(cut_levels[n], n,
                                                  patch_ring)))
         for n in sizes)
 
     kw = dict(sizes=sizes, hdi=hdi, problem=problem, precond=precond,
-              cut_levels=cut_static, mg_coarsest=8,
+              cut_levels=cut_static, mg_coarsest=mg_coarsest,
               n_smooth=n_smooth, cheb_degree=cheb_degree,
               patch_colors=patch_colors,
               uniform_levels=fs.uniform_static(levels),
@@ -267,15 +277,28 @@ def main():
     kw["smooth_transfers"] = mg_transfer == "smoothed"
     # interface-band deflation: 2K+1 Fourier modes along the band
     kw["deflate_K"] = int(os.environ.get("PROTON_BENCH_DEFLATE", "0"))
+    # 2 = W-cycle (per-gap correction quality degrades with depth on
+    # the Galerkin hierarchy; W re-visits recover it)
+    kw["mg_gamma"] = int(os.environ.get("PROTON_BENCH_GAMMA", "1"))
+
+    # band-Galerkin coarse corrections: the measured fix for the
+    # V-cycle's band amplification (rediscretized coarse cut operators
+    # overshoot; rho(E) 4.9 -> <1 with Galerkin band blocks)
+    gal_list = None
+    if use_gal:
+        gal = fs.band_galerkin_levels(levels, hdi, problem, eta)
+        gal_list = tuple(gal.get(n) for n in sizes)
 
     mg_pre = None
     if segment and fs.segments_can_reuse(kw):
         stat = fs.segments_static(kw)
-        mgdata = fs.mg_setup_cached(S_list, stat, problem, drec_list)
+        mgdata = fs.mg_setup_cached(S_list, stat, problem, drec_list,
+                                    gal_list)
         rhs, gF_cl = fs._rhs_jit(mesh, dofmap, cond, sizes=sizes,
                                  hdi=hdi, problem=problem,
                                  uniform_levels=stat["uniform_levels"])
-        sync(mgdata.coarse_chol, *jax.tree.leaves(rhs))
+        sync(*jax.tree.leaves(mgdata.coarse_chol),
+             *jax.tree.leaves(rhs))
         mg_pre = (mgdata, rhs, gF_cl)
     t_mg_setup = time.perf_counter() - t0
 
@@ -284,9 +307,11 @@ def main():
         if segment:
             return fs.solve_segments(mesh, dofmap, cond, S_list, cgp,
                                      segment, kw, pre=mg_pre,
-                                     drec_list=drec_list)
+                                     drec_list=drec_list,
+                                     gal_list=gal_list)
         out = fs._solve_jit(mesh, dofmap, cond, S_list, cg_params=cgp,
-                            drec_list=drec_list, **kw)
+                            drec_list=drec_list, gal_list=gal_list,
+                            **kw)
         return out[0], out[2], out[3], out[4]
 
     local, iters, exit_reason, rel = solve()

@@ -1119,6 +1119,7 @@ def solve_fictdom_structured(
         cg_f64: Optional[bool] = None, cg_segment: int = 0,
         compute_h1: bool = True, fitted: str = "uniform",
         mg_transfer: str = "uniform", mg_deflate: int = 0,
+        mg_galerkin: bool = True, mg_gamma: int = 1,
         side: int = LOC_NEG) -> StructuredFictdomResult:
     """End-to-end fictdom solve on the generated N x N mesh (module
     docstring). ``precond``: 'mg' (reconstruction-transfer V-cycle,
@@ -1194,6 +1195,8 @@ def solve_fictdom_structured(
     t0 = time.perf_counter()
     dofmap = assembly.build_dofmap_structured(N, hdi)
     sizes = tuple(sorted(S_levels))
+    use_gal = (precond == "mg" and mg_galerkin and len(sizes) > 1 and
+               fitted in ("uniform", "lean"))
     kw = dict(
         sizes=sizes, hdi=hdi, problem=problem, precond=precond,
         cut_levels=tuple(
@@ -1205,7 +1208,7 @@ def solve_fictdom_structured(
         patch_colors=patch_colors, cheb_ops=cheb_ops,
         patch_sweeps=patch_sweeps,
         smooth_transfers=mg_transfer == "smoothed",
-        deflate_K=mg_deflate,
+        deflate_K=mg_deflate, mg_gamma=mg_gamma,
         uniform_levels=uniform_static(levels),
         cg_f64=(jax.config.jax_enable_x64 and not mg_f32 and
                 not cg_segment
@@ -1216,14 +1219,19 @@ def solve_fictdom_structured(
         dl = tuple(levels[n].drec for n in sizes)
         if any(d is not None for d in dl):
             drec_list = dl
+    gal_list = None
+    if use_gal:
+        gal = band_galerkin_levels(levels, hdi, problem, eta,
+                                   int_refsteps)
+        gal_list = tuple(gal.get(n) for n in sizes)
     if not cg_segment:
         local, _, iters, exit_reason, rel, _ = _solve_jit(
             fine.mesh, dofmap, fine.cond, S_list, cg_params=cg_params,
-            drec_list=drec_list, **kw)
+            drec_list=drec_list, gal_list=gal_list, **kw)
     else:
         local, iters, exit_reason, rel = solve_segments(
             fine.mesh, dofmap, fine.cond, S_list, cg_params, cg_segment,
-            kw, drec_list=drec_list)
+            kw, drec_list=drec_list, gal_list=gal_list)
     jax.block_until_ready(local)
     timings["solve_s"] = time.perf_counter() - t0
 
@@ -1272,14 +1280,15 @@ def uniform_static(levels: dict):
                                              "patch_colors",
                                              "uniform_levels",
                                              "cheb_ops", "deflate_K"))
-def _mg_setup_jit(S_list, drec_list=None, *, sizes, hdi, cut_levels,
-                  mg_coarsest, cheb_degree, patch_colors=1,
+def _mg_setup_jit(S_list, drec_list=None, gal_list=None, *, sizes, hdi,
+                  cut_levels, mg_coarsest, cheb_degree, patch_colors=1,
                   uniform_levels=None, cheb_ops="exact", deflate_K=0):
     S_levels = dict(zip(sizes, S_list))
     cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
     fbs = bases.face_basis_size(hdi.face_degree)
     rec_dev = (None if drec_list is None
                else dict(zip(sizes, drec_list)))
+    gal = None if gal_list is None else dict(zip(sizes, gal_list))
     return multigrid.mg_setup_cl(max(sizes), fbs, S_levels, hdi,
                                  coarsest=mg_coarsest,
                                  cut_ids_per_level=cuts,
@@ -1289,7 +1298,8 @@ def _mg_setup_jit(S_list, drec_list=None, *, sizes, hdi, cut_levels,
                                      uniform_levels),
                                  cheb_ops=cheb_ops,
                                  rec_dev_per_level=rec_dev,
-                                 deflate_K=deflate_K)
+                                 deflate_K=deflate_K,
+                                 galerkin_per_level=gal)
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi", "problem",
@@ -1319,12 +1329,12 @@ def _rhs_jit(mesh, dofmap, cond, *, sizes, hdi, problem,
                                              "uniform_levels",
                                              "cheb_ops", "patch_sweeps",
                                              "smooth_transfers",
-                                             "deflate_K"))
+                                             "deflate_K", "mg_gamma"))
 def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
                 cut_levels, mg_coarsest, n_smooth, cheb_degree,
                 cg_params, patch_colors=1, uniform_levels=None,
                 cheb_ops="exact", patch_sweeps=1,
-                smooth_transfers=False, deflate_K=0):
+                smooth_transfers=False, deflate_K=0, mg_gamma=1):
     N = max(sizes)
     fbs = bases.face_basis_size(hdi.face_degree)
     sys_f = structured.make_structured_system(N, N, fbs)
@@ -1346,7 +1356,7 @@ def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
         patch_colors=patch_colors, hdi=hdi,
         uniform_per_level=uni, cheb_ops=cheb_ops,
         patch_sweeps=patch_sweeps,
-        smooth_transfers=smooth_transfers)
+        smooth_transfers=smooth_transfers, mg_gamma=mg_gamma)
     res = cg.conjugated_gradient(apply_S, rhs, None, cg_params,
                                  precond=precond, x0=x0, nr0=nr0)
     nr0_out = jnp.sqrt(sum(jnp.vdot(l, l).real for l in
@@ -1393,11 +1403,126 @@ def segments_static(kw: dict) -> dict:
                 deflate_K=kw.get("deflate_K", 0))
 
 
+_GALERKIN_CACHE_V = "v3"   # v3: exact 4-face patch restrictions
+
+
+def _level_deltas(lev: LevelData):
+    """(dS [nfd*nfd, Ci], irr_ids) of a level, for either the lean or
+    the full-plane condensed representation."""
+    cond = lev.cond
+    if isinstance(cond, cells_last.UniformCondCL):
+        return cond.dS, lev.irr_ids
+    return cells_last.uniform_deltas(
+        cond.S, np.asarray(lev.S_u), lev.irr_ids), lev.irr_ids
+
+
+def band_galerkin_levels(levels: dict, hdi: HHODegreeInfo,
+                         problem: FictdomProblem, eta: float,
+                         int_refsteps: int = 4, dtype=None):
+    """{n_coarse: (kernel, row_cells, col_cells, blocks) device arrays}:
+    the EXACT Galerkin coarse hierarchy (multigrid pair-op engine — the
+    measured fix for the V-cycle's coarse-correction amplification on
+    cut problems, rho(E) 4.9 -> 0.9). Recursed on the host from the
+    finest level's (S_u, dS, irr) down the hierarchy; DISK-CACHED as one
+    npz per (geometry, N, degree, eta)."""
+    import hashlib
+
+    sizes = sorted(levels)
+    N = max(sizes)
+    dS_N, irr_N = _level_deltas(levels[N])
+    if dtype is None:
+        dtype = dS_N.dtype
+    dev = jax.devices()[0]
+
+    def ship(per_level_np):
+        out = {}
+        for n, kr in per_level_np.items():
+            (kern, rows, cols, blocks, BHu, BVu,
+             hj, hi, dBH, vj, vi, dBV, cells, cblocks, Bu_cell) = kr
+
+            def put(a, dt=dtype):
+                return jax.device_put(jnp.asarray(np.asarray(a, dt)),
+                                      dev)
+
+            out[n] = multigrid.GalerkinLevel(
+                put(kern), put(rows, np.int32), put(cols, np.int32),
+                put(blocks), put(BHu), put(BVu),
+                (put(hj, np.int32), put(hi, np.int32), put(dBH)),
+                (put(vj, np.int32), put(vi, np.int32), put(dBV)),
+                put(cells, np.int32), put(cblocks), put(Bu_cell))
+        return out
+
+    cache_mode = os.environ.get("PROTON_SETUP_CACHE", "1")
+    on_host = jax.default_backend() != "cpu"
+    cache_on = problem.cache_key is not None and (
+        cache_mode == "force" or (on_host and cache_mode == "1"))
+    path = None
+    if cache_on:
+        d = os.environ.get("PROTON_SETUP_CACHE_DIR")
+        if d is None:
+            d = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+                ".proton_setup_cache")
+        h = hashlib.sha1(
+            f"{_GALERKIN_CACHE_V}|{problem.cache_key}|{N}|"
+            f"{min(sizes)}|{hdi.cell_degree}|{hdi.face_degree}|{eta}|"
+            f"{int_refsteps}".encode()).hexdigest()[:16]
+        path = os.path.join(d, f"galerkin_N{N}_{h}.npz")
+    _FIELDS = ("k", "r", "c", "b", "BH", "BV", "hj", "hi", "dH",
+               "vj", "vi", "dV", "cc", "cb", "Bu")
+    if path is not None and os.path.exists(path):
+        try:
+            z = np.load(path)
+            per = {}
+            for n in sizes[:-1]:
+                per[n] = tuple(z[f"{f}{n}"] for f in _FIELDS)
+            return ship(per)
+        except Exception:
+            pass
+
+    fine = levels[N]
+    fbs = bases.face_basis_size(hdi.face_degree)
+    const, corr = multigrid.finest_pair_op(
+        N, np.asarray(fine.S_u, np.float64), dS_N, irr_N)
+    per = {}
+    for nf in reversed(sizes[1:]):
+        nc = nf // 2
+        if nc not in levels:
+            break
+        # fold the fine level's domain-boundary masking into the corr
+        # list before the triple product (per-level masking is what the
+        # masked apply + masked transfers realize)
+        corr = multigrid.mask_pair_op(nf, const, corr)
+        const, corr = multigrid.galerkin_coarsen_pair_op(hdi, nc, const,
+                                                         corr)
+        BHu, BVu, (hj, hi, dBH), (vj, vi, dBV) = \
+            multigrid.pair_op_diag_data(nc, const, corr, fbs)
+        Bu_cell, cells, cblocks = multigrid.pair_op_cell_face_blocks(
+            nc, const, corr, fbs)
+        per[nc] = (multigrid.pair_op_kernel(const), corr[0], corr[1],
+                   corr[2], BHu, BVu, hj, hi, dBH, vj, vi, dBV, cells,
+                   cblocks, Bu_cell)
+    if path is not None:
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp{os.getpid()}"
+            leaves = {}
+            for n, tup in per.items():
+                for f, a in zip(_FIELDS, tup):
+                    leaves[f"{f}{n}"] = a
+            with open(tmp, "wb") as f:
+                np.savez(f, **leaves)
+            os.replace(tmp, path)
+        except Exception:
+            pass
+    return ship(per)
+
+
 _MGDATA_CACHE_V = "v2"    # v2: + recdev (cut-aware transfers)
 
 
 def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
-                    drec_list=None):
+                    drec_list=None, gal_list=None):
     """_mg_setup_jit with an on-disk cache of the RESULT arrays.
 
     The MGDataCL pytree is O(band) small (per-level dS, bj corrections,
@@ -1417,7 +1542,7 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
     cache_mode = os.environ.get("PROTON_SETUP_CACHE", "1")
     if problem.cache_key is None or not (
             cache_mode == "force" or (on_host and cache_mode == "1")):
-        return _mg_setup_jit(S_list, drec_list, **stat)
+        return _mg_setup_jit(S_list, drec_list, gal_list, **stat)
 
     fp = hashlib.sha1()
     fp.update(f"{_MGDATA_CACHE_V}|{problem.cache_key}|".encode())
@@ -1431,6 +1556,9 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
     # presence + per-level sizes
     fp.update(repr([None if d is None else tuple(d.shape)
                     for d in (drec_list or [])]).encode())
+    fp.update(repr([None if g is None else
+                    (tuple(g[0].shape), tuple(g[3].shape))
+                    for g in (gal_list or [])]).encode())
     d = os.environ.get("PROTON_SETUP_CACHE_DIR")
     if d is None:
         d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -1447,7 +1575,7 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
                 if isinstance(a, np.ndarray) else a, host)
         except Exception:
             pass
-    mgdata = _mg_setup_jit(S_list, drec_list, **stat)
+    mgdata = _mg_setup_jit(S_list, drec_list, gal_list, **stat)
     try:
         host = jax.tree.map(lambda a: np.asarray(jax.device_get(a)),
                             mgdata)
@@ -1462,7 +1590,7 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
 
 
 def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
-                   kw: dict, pre=None, drec_list=None):
+                   kw: dict, pre=None, drec_list=None, gal_list=None):
     """Host loop of warm-started CG segments with the true residual
     recomputed at every boundary. The MG setup (patch inversions,
     lambda_max power iterations, transfer stencils, the dense coarse
@@ -1479,7 +1607,8 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
         while True:
             local, x, it, ex, rel, nr0 = _solve_jit(
                 mesh, dofmap, cond, S_list, x0=x, nr0=nr0,
-                drec_list=drec_list, cg_params=seg_params, **kw)
+                drec_list=drec_list, gal_list=gal_list,
+                cg_params=seg_params, **kw)
             total += int(it)
             ex = int(ex)
             if ex in (cg.CONVERGED, cg.DIVERGED) or \
@@ -1493,7 +1622,8 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
     if pre is not None:
         mgdata, rhs, gF_cl = pre
     else:
-        mgdata = mg_setup_cached(S_list, stat, kw["problem"], drec_list)
+        mgdata = mg_setup_cached(S_list, stat, kw["problem"], drec_list,
+                                 gal_list)
         rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
                               problem=kw["problem"],
                               uniform_levels=stat["uniform_levels"])
@@ -1507,6 +1637,7 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
             n_smooth=kw.get("n_smooth", 1),
             patch_sweeps=kw.get("patch_sweeps", 1),
             smooth_transfers=kw.get("smooth_transfers", False),
+            mg_gamma=kw.get("mg_gamma", 1),
             cg_params=seg_params, **stat)
         total += int(it)
         ex = int(ex)
@@ -1528,15 +1659,15 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
                                              "cheb_ops",
                                              "patch_sweeps",
                                              "smooth_transfers",
-                                             "deflate_K"))
+                                             "deflate_K", "mg_gamma"))
 def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None,
-               drec_list=None, *, sizes,
+               drec_list=None, gal_list=None, *, sizes,
                hdi, problem,
                precond, cut_levels, mg_coarsest, n_smooth, cg_params,
                mg_f32=False, mg_smoother="chebyshev", cheb_degree=4,
                cg_f64=False, patch_colors=1, uniform_levels=None,
                cheb_ops="exact", patch_sweeps=1,
-               smooth_transfers=False, deflate_K=0):
+               smooth_transfers=False, deflate_K=0, mg_gamma=1):
     """One compiled graph: Dirichlet fold, MG build (all setup math is
     traced), PCG, cell recovery. S_list: S_cl arrays matching the static
     ``sizes`` (ascending); the largest is the fine level.
@@ -1622,7 +1753,10 @@ def _solve_jit(mesh, dofmap, cond, S_list, x0=None, nr0=None,
             patch_sweeps=patch_sweeps,
             rec_dev_per_level=(None if drec_list is None
                                else dict(zip(sizes, drec_list))),
-            smooth_transfers=smooth_transfers)
+            smooth_transfers=smooth_transfers,
+            galerkin_per_level=(None if gal_list is None
+                                else dict(zip(sizes, gal_list))),
+            gamma=mg_gamma)
         if deflate_K > 0 and len(cuts.get(N, ())) > 0:
             # interface-band deflation: additive coarse correction of
             # the band-tangential smooth modes (multigrid module

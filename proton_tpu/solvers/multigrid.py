@@ -504,6 +504,551 @@ def _mg_sizes(N: int, coarsest: int):
 
 
 # ---------------------------------------------------------------------------
+# Exact Galerkin coarse hierarchy (pair-operator coarsening engine)
+#
+# MEASURED ROOT CAUSE of the MG iteration growth on cut problems: the
+# REDISCRETIZED coarse operator is non-Galerkin — on band-local modes it
+# is much softer than R A_f P (the circle cuts coarse cells at different
+# offsets; a coarse sliver's Nitsche block can be tiny where the fine
+# cells under it are stiff), so the coarse correction OVERSHOOTS: the
+# V-cycle error propagator has rho(E) ~ 4-5 at 128^2 (divergent as a
+# stationary iteration; CG tolerates the outliers at ~1 iteration per
+# outlier mode, whose count grows with the interface length — the
+# 17 -> 32 -> 59 -> 446 growth). Two-level with EXACT Galerkin RAP:
+# rho(E) = 0.90. Hybrids fail: RAP differs from the rediscretized
+# operator GLOBALLY (the transfers do not reproduce the uniform coarse
+# stencil — O(1) diagonal difference), so mixing redisc background with
+# Galerkin band patches is inconsistent (measured rho 3-70). The coarse
+# operators must be Galerkin everywhere.
+#
+# Representation (PairOp): A = translation-invariant CELL-PAIR stencil
+# {direction d -> B_d [nfd, nfd]} (the Galerkin image of the uniform
+# operator — applied on device as one small conv over the cell slot
+# planes) + a sparse list of (row_cell, col_cell, block) deviations
+# (cut/displaced cells, domain-boundary masking, and their propagated
+# images). Coarsening is the exact triple product under the
+# reconstruction-based transfers: each fine cell couples (parent,
+# vertical neighbor, horizontal neighbor) coarse cells through M_loc
+# built from the 12 transfer stencils with the 0.5 skeleton averaging,
+# so a fine pair at direction d maps to coarse pairs within
+# |d|//2 + 2 — the stencil footprint converges to 9x9 and the
+# deviation list stays O(band + boundary) at every level.
+# ---------------------------------------------------------------------------
+
+
+def _mloc_cells(MH, MV, py: int, px: int):
+    """Per-cell prolongation restriction of one fine child cell at
+    position (py, px) inside its coarse parent: list of
+    (coarse_cell_offset (dJ, dI), M [nfd_fine_faces, nfd_coarse]) over
+    the (parent, vertical-neighbor, horizontal-neighbor) cells. Fine
+    face slot order (bottom, right, top, left) matches grid_gather."""
+    fbs = MH.shape[2]
+    nfd = 4 * fbs
+    b, r, t, l = 0, fbs, 2 * fbs, 3 * fbs
+    P = np.zeros((nfd, nfd))
+    V = np.zeros((nfd, nfd))
+    H = np.zeros((nfd, nfd))
+    if py == 0:    # bottom fine face on the coarse skeleton
+        P[b:b + fbs] = 0.5 * MH[0, px]
+        V[b:b + fbs] = 0.5 * MH[2, px]
+        P[t:t + fbs] = MH[1, px]
+    else:          # top fine face on the coarse skeleton
+        P[b:b + fbs] = MH[1, px]
+        P[t:t + fbs] = 0.5 * MH[2, px]
+        V[t:t + fbs] = 0.5 * MH[0, px]
+    if px == 0:    # left fine face on the coarse skeleton
+        P[l:l + fbs] = 0.5 * MV[py, 0]
+        H[l:l + fbs] = 0.5 * MV[py, 2]
+        P[r:r + fbs] = MV[py, 1]
+    else:          # right fine face on the coarse skeleton
+        P[l:l + fbs] = MV[py, 1]
+        P[r:r + fbs] = 0.5 * MV[py, 2]
+        H[r:r + fbs] = 0.5 * MV[py, 0]
+    voff = (2 * py - 1, 0)
+    hoff = (0, 2 * px - 1)
+    return [((0, 0), P), (voff, V), (hoff, H)]
+
+
+def finest_pair_op(nf: int, S_u, dS, irr):
+    """PairOp (const dict, (rows, cols, blocks)) of the finest level:
+    the uniform block at direction (0, 0) plus the irregular deviations
+    at their cells. The domain-boundary masking is added separately
+    (mask_pair_op) before each coarsening step."""
+    S_u = np.asarray(S_u, np.float64)
+    nfd = S_u.shape[0]
+    const = {(0, 0): S_u}
+    irr = np.asarray(irr)
+    dSm = np.moveaxis(np.asarray(dS, np.float64).reshape(
+        nfd, nfd, len(irr)), -1, 0)
+    dSm = 0.5 * (dSm + np.swapaxes(dSm, 1, 2))
+    return const, (irr, irr.copy(), dSm)
+
+
+def _frozen_slot_mask(n: int, cells, nfd: int):
+    """[len(cells), nfd] multiplier zeroing the slots of domain-edge
+    faces (bottom, right, top, left slot order; off-grid coordinates
+    also read 0 — their faces do not exist)."""
+    fbs = nfd // 4
+    jj, ii = cells // n, cells % n
+    m = np.ones((len(cells), nfd))
+    m[jj <= 0, 0:fbs] = 0.0
+    m[ii >= n - 1, fbs:2 * fbs] = 0.0
+    m[jj >= n - 1, 2 * fbs:3 * fbs] = 0.0
+    m[ii <= 0, 3 * fbs:4 * fbs] = 0.0
+    return m
+
+
+def mask_pair_op(n: int, const: dict, corr):
+    """Corr list with the level's domain-boundary masking folded in:
+    returns corr' such that const + corr' equals Z (const + corr) Z with
+    Z zeroing the frozen (domain-edge) face dofs — the energy form the
+    masked apply and the masked transfers realize. Needed before EVERY
+    coarsening step (the dense harness confirms gap-2 exactness only
+    with per-level masking)."""
+    rows, cols, blocks = corr
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    blocks = np.asarray(blocks, np.float64)
+    nfd = next(iter(const.values())).shape[0]
+
+    # Z corr Z
+    mr = _frozen_slot_mask(n, rows, nfd)
+    mc = _frozen_slot_mask(n, cols, nfd)
+    out_r = [rows]
+    out_c = [cols]
+    out_b = [blocks * mr[:, :, None] * mc[:, None, :]]
+
+    # Z const Z - const on pairs touching the edge
+    maxd = max((max(abs(dy), abs(dx)) for dy, dx in const), default=0)
+    w = maxd + 1
+    cells = np.arange(n * n)
+    jj, ii = cells // n, cells % n
+    frame = (jj < w) | (jj >= n - w) | (ii < w) | (ii >= n - w)
+    fc = cells[frame]
+    fj, fi = fc // n, fc % n
+    for (dy, dx), B in const.items():
+        cj, ci = fj + dy, fi + dx
+        ok = (cj >= 0) & (cj < n) & (ci >= 0) & (ci < n)
+        if not ok.any():
+            continue
+        rcell = fc[ok]
+        ccell = (cj * n + ci)[ok]
+        m1 = _frozen_slot_mask(n, rcell, nfd)
+        m2 = _frozen_slot_mask(n, ccell, nfd)
+        delta = B[None] * (m1[:, :, None] * m2[:, None, :]) - B[None]
+        nz = np.abs(delta).max(axis=(1, 2)) > 0
+        if nz.any():
+            out_r.append(rcell[nz])
+            out_c.append(ccell[nz])
+            out_b.append(delta[nz])
+    return _aggregate_pairs(np.concatenate(out_r),
+                            np.concatenate(out_c),
+                            np.concatenate(out_b, axis=0), n)
+
+
+def _aggregate_pairs(rows, cols, blocks, n):
+    key = rows.astype(np.int64) * (n * n) + cols.astype(np.int64)
+    uk, inv = np.unique(key, return_inverse=True)
+    agg = np.zeros((len(uk),) + blocks.shape[1:])
+    np.add.at(agg, inv, blocks)
+    return uk // (n * n), uk % (n * n), agg
+
+
+def galerkin_coarsen_pair_op(hdi, nc: int, const_f: dict, corr_f,
+                             domain: float = 1.0):
+    """One exact Galerkin coarsening step of a PairOp: fine level
+    nf = 2*nc -> coarse nc under the reconstruction-based transfers.
+    Returns (const_c dict, (rows, cols, blocks))."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        MHj, MVj = _transfer_slot_matrices(hdi, domain / nc, jnp.float64)
+    MH = np.asarray(MHj)
+    MV = np.asarray(MVj)
+    nfd = 4 * MH.shape[2]
+    nf = 2 * nc
+    mlocs = {(py, px): _mloc_cells(MH, MV, py, px)
+             for py in (0, 1) for px in (0, 1)}
+
+    # ---- translation-invariant part -----------------------------------
+    const_c = {}
+    for (py, px), ml_a in mlocs.items():
+        for (dy, dx), B in const_f.items():
+            qy, qx = (py + dy) % 2, (px + dx) % 2
+            dPy, dPx = (py + dy) // 2, (px + dx) // 2
+            for (ca, Ma) in ml_a:
+                for (cb, Mb) in mlocs[(qy, qx)]:
+                    d = (dPy + cb[0] - ca[0], dPx + cb[1] - ca[1])
+                    const_c[d] = const_c.get(d, 0.0) + Ma.T @ B @ Mb
+
+    # ---- deviation part ------------------------------------------------
+    out_r, out_c, out_b = [], [], []
+
+    def coarsen_pairs(ja, ia, jb, ib, blocks_f):
+        """Exact triple product of explicit fine pairs (possibly with
+        off-grid coordinates — combos whose coarse row/col cells are
+        off-grid are dropped, which matches the masked transfers)."""
+        pa_y, pa_x = ja % 2, ia % 2
+        pb_y, pb_x = jb % 2, ib % 2
+        Pa_j, Pa_i = ja // 2, ia // 2
+        Pb_j, Pb_i = jb // 2, ib // 2
+        for (py, px), ml_a in mlocs.items():
+            for (qy, qx), ml_b in mlocs.items():
+                sel = (pa_y == py) & (pa_x == px) & \
+                      (pb_y == qy) & (pb_x == qx)
+                if not sel.any():
+                    continue
+                Bsel = blocks_f[sel]
+                for (ca, Ma) in ml_a:
+                    rj, ri = Pa_j[sel] + ca[0], Pa_i[sel] + ca[1]
+                    va = (rj >= 0) & (rj < nc) & (ri >= 0) & (ri < nc)
+                    for (cb, Mb) in ml_b:
+                        cj, ci = Pb_j[sel] + cb[0], Pb_i[sel] + cb[1]
+                        ok = va & (cj >= 0) & (cj < nc) & (ci >= 0) & \
+                            (ci < nc)
+                        if not ok.any():
+                            continue
+                        out_r.append((rj * nc + ri)[ok])
+                        out_c.append((cj * nc + ci)[ok])
+                        out_b.append(np.einsum(
+                            "im,cij,jn->cmn", Ma, Bsel[ok], Mb,
+                            optimize=True))
+
+    rows_f, cols_f, blocks_f = corr_f
+    rows_f = np.asarray(rows_f)
+    cols_f = np.asarray(cols_f)
+    blocks_f = np.asarray(blocks_f, np.float64)
+    coarsen_pairs(rows_f // nf, rows_f % nf, cols_f // nf, cols_f % nf,
+                  blocks_f)
+
+    # phantom-pair cancellation: the conv stencil is translation-
+    # invariant, so near the grid edge it includes contributions whose
+    # generating fine pair (fa, fb) does not exist (fa or fb off-grid)
+    # while the coarse row/col cells ARE on-grid; emit their NEGATIVES.
+    maxd = max((max(abs(dy), abs(dx)) for dy, dx in const_f),
+               default=0)
+    w = maxd + 2
+    coords = np.arange(-1, nf + 1)
+    JA, IA = np.meshgrid(coords, coords, indexing="ij")
+    frame = (JA < w) | (JA >= nf - w) | (IA < w) | (IA >= nf - w)
+    ja0 = JA[frame].ravel()
+    ia0 = IA[frame].ravel()
+    for (dy, dx), B in const_f.items():
+        jb0, ib0 = ja0 + dy, ia0 + dx
+        a_on = (ja0 >= 0) & (ja0 < nf) & (ia0 >= 0) & (ia0 < nf)
+        b_on = (jb0 >= 0) & (jb0 < nf) & (ib0 >= 0) & (ib0 < nf)
+        bad = ~(a_on & b_on)
+        if not bad.any():
+            continue
+        nb = int(bad.sum())
+        coarsen_pairs(ja0[bad], ia0[bad], jb0[bad], ib0[bad],
+                      np.broadcast_to(-B, (nb,) + B.shape))
+
+    if out_r:
+        corr_c = _aggregate_pairs(np.concatenate(out_r),
+                                  np.concatenate(out_c),
+                                  np.concatenate(out_b, axis=0), nc)
+    else:
+        corr_c = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                  np.zeros((0, nfd, nfd)))
+    return const_c, corr_c
+
+
+class GalerkinLevel(NamedTuple):
+    """One coarse level's exact-Galerkin operator + the diagonal data
+    its band smoothers need (all arrays; index arrays traced)."""
+
+    kernel: jnp.ndarray    # [nfd, nfd, ky, kx] constant conv stencil
+    rows: jnp.ndarray      # [P] deviation pair row cells
+    cols: jnp.ndarray      # [P] deviation pair col cells
+    blocks: jnp.ndarray    # [P, nfd, nfd]
+    BHu: jnp.ndarray       # [fbs, fbs] uniform interior H-face block
+    BVu: jnp.ndarray
+    fH: tuple              # (hj, hi, dBH [nH, fbs, fbs]) face deltas
+    fV: tuple
+    cells: jnp.ndarray     # [m] cells with deviating 4-face blocks
+    cblocks: jnp.ndarray   # [m, nfd, nfd] EXACT 4-face restrictions
+    Bu_cell: jnp.ndarray   # [nfd, nfd] uniform interior restriction
+
+
+def pair_op_diag_data(nc: int, const: dict, corr, fbs: int):
+    """HOST: the Galerkin level's assembled face-diagonal data — the
+    uniform interior H/V face blocks plus per-face deltas and the (c,c)
+    cell deviation blocks (feeds the Galerkin-consistent patch/bj
+    smoothers)."""
+    nfd = 4 * fbs
+    b, r, t, l = (slice(0, fbs), slice(fbs, 2 * fbs),
+                  slice(2 * fbs, 3 * fbs), slice(3 * fbs, 4 * fbs))
+    C00 = const[(0, 0)]
+    C10 = const.get((1, 0), np.zeros((nfd, nfd)))
+    C01 = const.get((0, 1), np.zeros((nfd, nfd)))
+    BHu = C00[t, t] + C00[b, b] + C10[t, b] + C10[t, b].T
+    BVu = C00[l, l] + C00[r, r] + C01[r, l] + C01[r, l].T
+
+    rows, cols, blocks = corr
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    blocks = np.asarray(blocks)
+    ja, ia = rows // nc, rows % nc
+    jb, ib = cols // nc, cols % nc
+    hkeys, hvals, vkeys, vvals = [], [], [], []
+
+    diag = rows == cols
+    if diag.any():
+        jj, ii = ja[diag], ia[diag]
+        B = blocks[diag]
+        hkeys += [jj * nc + ii, (jj + 1) * nc + ii]
+        hvals += [B[:, b, b], B[:, t, t]]
+        vkeys += [jj * (nc + 1) + ii, jj * (nc + 1) + ii + 1]
+        vvals += [B[:, l, l], B[:, r, r]]
+    up = (jb == ja + 1) & (ib == ia)      # row cell below col cell
+    if up.any():
+        jj, ii = ja[up], ia[up]
+        hkeys.append((jj + 1) * nc + ii)
+        hvals.append(blocks[up][:, t, b])
+    dn = (jb == ja - 1) & (ib == ia)
+    if dn.any():
+        jj, ii = ja[dn], ia[dn]
+        hkeys.append(jj * nc + ii)
+        hvals.append(blocks[dn][:, b, t])
+    rt = (ib == ia + 1) & (jb == ja)
+    if rt.any():
+        jj, ii = ja[rt], ia[rt]
+        vkeys.append(jj * (nc + 1) + ii + 1)
+        vvals.append(blocks[rt][:, r, l])
+    lt = (ib == ia - 1) & (jb == ja)
+    if lt.any():
+        jj, ii = ja[lt], ia[lt]
+        vkeys.append(jj * (nc + 1) + ii)
+        vvals.append(blocks[lt][:, l, r])
+
+    def agg(keys, vals, W, frozen):
+        if not keys:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros((0, fbs, fbs)))
+        k = np.concatenate(keys)
+        v = np.concatenate(vals, axis=0)
+        ok = ~frozen(k)
+        k, v = k[ok], v[ok]
+        uk, inv = np.unique(k, return_inverse=True)
+        out = np.zeros((len(uk), fbs, fbs))
+        np.add.at(out, inv, v)
+        return uk // W, uk % W, out
+
+    hj, hi, dBH = agg(hkeys, hvals, nc,
+                      lambda k: (k // nc == 0) | (k // nc == nc))
+    vj, vi, dBV = agg(vkeys, vvals, nc + 1,
+                      lambda k: (k % (nc + 1) == 0) |
+                      (k % (nc + 1) == nc))
+    return BHu, BVu, (hj, hi, dBH), (vj, vi, dBV)
+
+
+def pair_op_cell_face_blocks(nc: int, const: dict, corr, fbs: int):
+    """HOST: exact 4-face restrictions of the pair operator — the
+    uniform interior cell's block B_u [nfd, nfd] and (cells, blocks)
+    for every cell whose restriction deviates (cells within 1 of a
+    deviation pair or of the domain boundary). These are the EXACT
+    local solves of the Galerkin-consistent patch smoother (the
+    assembled-diag + cell-block approximation misses the neighbor-pair
+    couplings — measured 10% off and divergent at 256^2)."""
+    nfd = 4 * fbs
+    rows, cols, blocks = corr
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    blocks = np.asarray(blocks)
+    # owners of slot s of cell c: (c, s) and (c + off[s], opp[s])
+    off = np.array([(-1, 0), (0, 1), (1, 0), (0, -1)])
+    opp = np.array([2, 3, 0, 1])
+
+    corr_map = {}
+    for idx in range(len(rows)):
+        corr_map[(int(rows[idx]), int(cols[idx]))] = idx
+
+    def block_of(a, b):
+        """[nfd, nfd] A-entries between cells a, b (grid ids), or None
+        if either is off-grid."""
+        if a is None or b is None:
+            return None
+        d = (b[0] - a[0], b[1] - a[1])
+        out = const.get(d)
+        out = None if out is None else out.copy()
+        key = (a[0] * nc + a[1], b[0] * nc + b[1])
+        idx = corr_map.get(key)
+        if idx is not None:
+            out = (blocks[idx] if out is None else out + blocks[idx])
+        return out
+
+    def cell(j, i):
+        return (j, i) if 0 <= j < nc and 0 <= i < nc else None
+
+    def restriction(j, i):
+        B = np.zeros((nfd, nfd))
+        for s1 in range(4):
+            own1 = [((j, i), s1)]
+            nb = cell(j + off[s1][0], i + off[s1][1])
+            if nb is not None:
+                own1.append((nb, opp[s1]))
+            for s2 in range(4):
+                own2 = [((j, i), s2)]
+                nb2 = cell(j + off[s2][0], i + off[s2][1])
+                if nb2 is not None:
+                    own2.append((nb2, opp[s2]))
+                acc = np.zeros((fbs, fbs))
+                for (a, sa) in own1:
+                    for (b, sb) in own2:
+                        blk = block_of(a, b)
+                        if blk is not None:
+                            acc += blk[sa * fbs:(sa + 1) * fbs,
+                                       sb * fbs:(sb + 1) * fbs]
+                B[s1 * fbs:(s1 + 1) * fbs, s2 * fbs:(s2 + 1) * fbs] = acc
+        return B
+
+    # interior uniform block: any interior cell far from deviations
+    jmid = nc // 2
+    B_u = None
+
+    dev = set()
+    for r_, c_ in zip(rows.tolist(), cols.tolist()):
+        for cc_ in (r_, c_):
+            j0, i0 = cc_ // nc, cc_ % nc
+            for dj in (-1, 0, 1):
+                for di in (-1, 0, 1):
+                    j2, i2 = j0 + dj, i0 + di
+                    if 0 <= j2 < nc and 0 <= i2 < nc:
+                        dev.add(j2 * nc + i2)
+    for i0 in range(nc):
+        dev.add(i0)
+        dev.add((nc - 1) * nc + i0)
+        dev.add(i0 * nc)
+        dev.add(i0 * nc + nc - 1)
+    # uniform reference from a non-deviating interior cell
+    for j0 in range(1, nc - 1):
+        found = False
+        for i0 in range(1, nc - 1):
+            if j0 * nc + i0 not in dev:
+                B_u = restriction(j0, i0)
+                found = True
+                break
+        if found:
+            break
+    if B_u is None:   # tiny/fully-deviating grid: fall back to center
+        B_u = restriction(jmid, jmid)
+
+    cells = np.array(sorted(dev), dtype=np.int64)
+    out = np.stack([restriction(c // nc, c % nc) for c in cells]) \
+        if len(cells) else np.zeros((0, nfd, nfd))
+    return B_u, cells, out
+
+
+def galerkin_patch_setup(sys: StructuredFaceSystem, gal: "GalerkinLevel",
+                         patch_ids, dtype):
+    """uniform_patch_setup_lean's Galerkin twin: every patch cell's
+    local block is the EXACT 4-face restriction of the Galerkin
+    operator (pair_op_cell_face_blocks), masked at frozen faces and
+    inverted. Same outputs (Binv, wH, wV)."""
+    from ..methods import cells_last as cl
+
+    fbs, Nx, Ny = sys.fbs, sys.Nx, sys.Ny
+    nfd = 4 * fbs
+    pids = np.asarray(patch_ids)
+    Cc = len(pids)
+    jj, ii = pids // Nx, pids % Nx
+    B_u = gal.Bu_cell.astype(dtype)
+
+    if gal.cells.shape[0] > 0:
+        pos = jnp.clip(jnp.searchsorted(gal.cells, jnp.asarray(pids)),
+                       0, gal.cells.shape[0] - 1)
+        hit = gal.cells[pos] == jnp.asarray(pids)
+        vals = gal.cblocks.astype(dtype)[pos]
+        B = jnp.where(hit[:, None, None], vals, B_u[None])
+    else:
+        B = jnp.broadcast_to(B_u, (Cc, nfd, nfd))
+
+    jjd = jnp.asarray(jj)
+    iid = jnp.asarray(ii)
+    free_slot = jnp.stack([sys.freeH[jjd, iid], sys.freeV[jjd, iid + 1],
+                           sys.freeH[jjd + 1, iid],
+                           sys.freeV[jjd, iid]], axis=1)
+    msk = jnp.repeat(free_slot, fbs, axis=1).astype(dtype)
+    B = B * (msk[:, :, None] * msk[:, None, :]) + \
+        jnp.eye(nfd, dtype=dtype) * (1.0 - msk)[:, None, :]
+    Binv = jnp.linalg.inv(B)
+
+    C = Nx * Ny
+    mask = jnp.zeros((C,), dtype).at[jnp.asarray(pids)].set(1.0)
+    onesl = jnp.broadcast_to(mask, (nfd, C))
+    mult = cl.grid_scatter_cl(sys, onesl)
+    wH = jnp.where(mult.H > 0,
+                   1.0 / jnp.sqrt(jnp.maximum(mult.H, 1.0)), 0.0)
+    wV = jnp.where(mult.V > 0,
+                   1.0 / jnp.sqrt(jnp.maximum(mult.V, 1.0)), 0.0)
+    return Binv, wH, wV
+
+
+def pair_op_kernel(const: dict, dtype=np.float64):
+    """Pack a PairOp's constant stencil into a conv kernel
+    [nfd_out, nfd_in, ky, kx] (odd spatial dims, center = direction
+    (0, 0)); out[s, J, I] = sum_{s2, dy, dx} K[s, s2, cy+dy, cx+dx] *
+    xl[s2, J+dy, I+dx] — zero padding realizes the dropped off-grid
+    pairs exactly."""
+    rmax = max((max(abs(dy), abs(dx)) for dy, dx in const), default=0)
+    nfd = next(iter(const.values())).shape[0]
+    k = 2 * rmax + 1
+    K = np.zeros((nfd, nfd, k, k), dtype)
+    for (dy, dx), B in const.items():
+        K[:, :, rmax + dy, rmax + dx] = B
+    return K
+
+
+def make_galerkin_operator_cl(sys: StructuredFaceSystem, kernel,
+                              rows=None, cols=None, blocks=None):
+    """Matrix-free PairOp apply, cells-last: gather cell slot planes,
+    one conv for the constant stencil, pair gather/matmul/scatter for
+    the deviations, scatter to the face grids, mask + frozen identity
+    (exactly make_structured_operator_cl's contract)."""
+    from ..methods.cells_last import GridVecCL
+
+    fbs = sys.fbs
+    nfd = 4 * fbs
+    b, r, t, l = 0, fbs, 2 * fbs, 3 * fbs
+    has_pairs = rows is not None and rows.shape[0] > 0
+    if has_pairs:
+        rj, ri = rows // sys.Nx, rows % sys.Nx
+        cj, ci = cols // sys.Nx, cols % sys.Nx
+
+    def apply_S(x: GridVecCL) -> GridVecCL:
+        H = x.H * sys.freeH[None]
+        V = x.V * sys.freeV[None]
+        xl = jnp.concatenate([H[:, :-1, :], V[:, :, 1:],
+                              H[:, 1:, :], V[:, :, :-1]],
+                             axis=0)                   # [nfd, Ny, Nx]
+        kd = kernel.astype(x.H.dtype)
+        c = jax.lax.conv_general_dilated(
+            xl[None].astype(x.H.dtype), kd, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+        zrow = jnp.zeros((fbs, 1, sys.Nx), H.dtype)
+        yH = jnp.concatenate([c[b:b + fbs], zrow], axis=1) + \
+            jnp.concatenate([zrow, c[t:t + fbs]], axis=1)
+        zcol = jnp.zeros((fbs, sys.Ny, 1), V.dtype)
+        yV = jnp.concatenate([c[l:l + fbs], zcol], axis=2) + \
+            jnp.concatenate([zcol, c[r:r + fbs]], axis=2)
+
+        if has_pairs:
+            xli = jnp.concatenate([H[:, cj, ci], V[:, cj, ci + 1],
+                                   H[:, cj + 1, ci], V[:, cj, ci]],
+                                  axis=0)              # [nfd, P]
+            yp = jnp.einsum("pij,jp->ip", blocks.astype(x.H.dtype),
+                            xli).reshape(4, fbs, -1)
+            yH = yH.at[:, rj, ri].add(yp[0]).at[:, rj + 1, ri].add(yp[2])
+            yV = yV.at[:, rj, ri].add(yp[3]).at[:, rj, ri + 1].add(yp[1])
+
+        return GridVecCL(
+            yH * sys.freeH[None] + x.H * (~sys.freeH[None]),
+            yV * sys.freeV[None] + x.V * (~sys.freeV[None]))
+
+    return apply_S
+
+
+# ---------------------------------------------------------------------------
 # Interface-band deflation space
 #
 # The V-cycle's stubborn error components on cut problems are SMOOTH ALONG
@@ -657,6 +1202,9 @@ class MGDataCL(NamedTuple):
     #                    uniform_per_level)
     deflate: tuple = ()  # () or (Wh, Wv, G_chol): fine-level interface-
     #                      band deflation space (make_band_deflation)
+    galerkin: tuple = ()  # per level: None or (row_cells, col_cells,
+    #                       blocks) — the band-Galerkin dG pair term
+    #                       (band_galerkin_blocks); index arrays traced
 
 
 def _uniform_su(uniform_per_level, n):
@@ -697,7 +1245,8 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
                 uniform_per_level=None,
                 cheb_ops: str = "exact",
                 rec_dev_per_level=None,
-                deflate_K: int = 0) -> MGDataCL:
+                deflate_K: int = 0,
+                galerkin_per_level=None) -> MGDataCL:
     """Compute every array the Chebyshev-smoothed cells-last V-cycle
     needs (see MGDataCL). Pure function of the S arrays — jit it with
     S as arguments (closures over big arrays break the axon remote
@@ -715,6 +1264,7 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
     dtype = S_per_level[N].dtype
 
     S_t, bj_t, lam_t, patch_t, trans_t, recdev_t = [], [], [], [], [], []
+    gal_t = []
     deflate_arrays = ()
     for i, n in enumerate(sizes):
         sys_n = systems[n]
@@ -744,6 +1294,17 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
             bj_t.append((iH, iV))
             apply_S = cl.make_structured_operator_cl(sys_n, S_n)
             base = partial(cl.apply_block_jacobi_cl, iH, iV)
+        gal = None if galerkin_per_level is None else \
+            galerkin_per_level.get(n)
+        gal_t.append(gal)
+        if gal is not None:
+            # exact Galerkin coarse operator replaces the rediscretized
+            # one (the bj base stays dS-based — a spectrally equivalent
+            # smoother preconditioner; the OPERATOR and the exact-solve
+            # PATCH blocks are what must be Galerkin-consistent)
+            apply_S = make_galerkin_operator_cl(sys_n, gal.kernel,
+                                                gal.rows, gal.cols,
+                                                gal.blocks)
         like = cl.GridVecCL(jnp.zeros((fbs, n + 1, n), dtype),
                             jnp.zeros((fbs, n, n + 1), dtype))
         apply_sm, base_sm = _cheb_op_pair(cl, sys_n, dtype, apply_S,
@@ -757,7 +1318,10 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
         if ids is not None and len(ids) > 0:
             cols = []
             for g in cl.patch_color_groups(ids, n, patch_colors):
-                if S_u is not None:
+                if gal is not None:
+                    cols.append(galerkin_patch_setup(sys_n, gal, g,
+                                                     dtype))
+                elif S_u is not None:
                     cols.append(cl.uniform_patch_setup_lean(
                         sys_n, S_u, S_t[-1], irr, g, dtype))
                 else:
@@ -786,6 +1350,10 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
                                               irr, S_t[-1])
     else:
         apply_c = cl.make_structured_operator_cl(sys_c, S_per_level[nco])
+    if gal_t[-1] is not None:
+        g = gal_t[-1]
+        apply_c = make_galerkin_operator_cl(sys_c, g.kernel, g.rows,
+                                            g.cols, g.blocks)
     hshape = (fbs, nco + 1, nco)
     vshape = (fbs, nco, nco + 1)
     ntot = int(np.prod(hshape) + np.prod(vshape))
@@ -795,10 +1363,11 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
         return _flatten(apply_c(_unflatten(v, (hshape, vshape), "cl")))
 
     Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
-    chol = jnp.linalg.cholesky(Ac)
+    chol = _coarse_factor(Ac)
     return MGDataCL(tuple(S_t), tuple(bj_t), tuple(lam_t),
                     tuple(patch_t), tuple(trans_t), chol,
-                    tuple(recdev_t), tuple(deflate_arrays))
+                    tuple(recdev_t), tuple(deflate_arrays),
+                    tuple(gal_t))
 
 
 def _smooth_transfer_pair(prol, restrict, apply_S, base, lam):
@@ -827,7 +1396,8 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
                        patch_colors: int = 1,
                        hdi=None, uniform_per_level=None,
                        cheb_ops: str = "exact", patch_sweeps: int = 1,
-                       smooth_transfers: bool = False):
+                       smooth_transfers: bool = False,
+                       mg_gamma: int = 1):
     """Apply the V-cycle from precomputed MGDataCL arrays (the pure-
     function twin of Multigrid.precondition; cut ids are static).
     ``uniform_per_level`` and ``cheb_ops`` must match the mg_setup_cl
@@ -855,6 +1425,11 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
             apply_S = cl.make_structured_operator_cl(sys_n, data.S[i])
             iH, iV = data.bj[i]
             base = partial(cl.apply_block_jacobi_cl, iH, iV)
+        gal = data.galerkin[i] if i < len(data.galerkin) else None
+        if gal is not None:
+            apply_S = make_galerkin_operator_cl(sys_n, gal.kernel,
+                                                gal.rows, gal.cols,
+                                                gal.blocks)
         apply_sm, base_sm = _cheb_op_pair(cl, sys_n, dtype, apply_S,
                                           base, S_u, cheb_ops)
         smooth = make_chebyshev_smoother(apply_sm, base_sm, data.lam[i],
@@ -889,7 +1464,7 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
     nco = sizes[-1]
     mg = Multigrid(levels, data.coarse_chol,
                    ((fbs, nco + 1, nco), (fbs, nco, nco + 1)),
-                   n_smooth, 0.67, "cl")
+                   n_smooth, 0.67, "cl", mg_gamma)
     z = mg.precondition(r)
     if data.deflate:
         defl = make_band_deflation_apply(systems[N],
@@ -916,9 +1491,42 @@ class Multigrid(NamedTuple):
     n_smooth: int
     omega: float
     layout: str = "rm"
+    gamma: int = 1      # 1 = V-cycle, 2 = W-style re-visits (the coarse
+    #                     problem is solved twice — recovers near-two-
+    #                     level quality when per-gap correction quality
+    #                     degrades with depth, as measured on the
+    #                     Galerkin cut hierarchy)
+    gamma_depth: int = 2  # re-visit only the top ``gamma_depth`` gaps:
+    #                       a full W-cycle's trace (and remote-AOT
+    #                       compile) grows 2^levels — bounding the depth
+    #                       keeps it linear
 
     def precondition(self, r):
         return _vcycle(self, 0, r)
+
+
+def _coarse_factor(Ac):
+    """Eigendecomposition pseudo-inverse factor of the densified
+    coarsest operator. The exact-Galerkin coarsest is SINGULAR (the
+    composed masked prolongation has a small kernel; measured min eig
+    ~1e-15 at 8^2) — Cholesky NaNs there. Restricted residuals are
+    orthogonal to the kernel (r_c = P~^T r in range(P~^T)), so the
+    pseudo-inverse is the exact coarse solve on the relevant subspace."""
+    As = 0.5 * (Ac + Ac.T)
+    w, Q = jnp.linalg.eigh(As)
+    n = Ac.shape[0]
+    tol = 50.0 * n * jnp.finfo(Ac.dtype).eps * jnp.max(jnp.abs(w))
+    winv = jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
+    return (Q, winv)
+
+
+def _coarse_solve(fac, rhs):
+    """Apply the coarsest factor: (Q, winv) eigh-pinv tuple, or a lower
+    Cholesky factor (legacy)."""
+    if isinstance(fac, tuple):
+        Q, winv = fac
+        return Q @ (winv * (Q.T @ rhs))
+    return jax.scipy.linalg.cho_solve((fac, True), rhs[:, None])[:, 0]
 
 
 def _flatten(x):
@@ -939,8 +1547,7 @@ def _vcycle(mg: Multigrid, lvl: int, b):
     if lvl == len(mg.levels) - 1:
         # coarsest: dense Cholesky solve
         rhs = _flatten(b)
-        x = jax.scipy.linalg.cho_solve((mg.coarse_chol, True),
-                                       rhs[:, None])[:, 0]
+        x = _coarse_solve(mg.coarse_chol, rhs)
         return _unflatten(x, mg.coarse_shape, mg.layout)
 
     def sweep(x, b, steps):
@@ -964,6 +1571,15 @@ def _vcycle(mg: Multigrid, lvl: int, b):
     r = jax.tree.map(lambda bb, ss: bb - ss, b, level.apply_S(x))
     rc = level.restrict(r)
     ec = _vcycle(mg, lvl + 1, rc)
+    if mg.gamma > 1 and lvl < mg.gamma_depth and \
+            lvl + 1 < len(mg.levels) - 1:
+        # W-style: re-visit the coarse problem on its residual
+        coarse = mg.levels[lvl + 1]
+        for _ in range(mg.gamma - 1):
+            r2 = jax.tree.map(lambda bb, ss: bb - ss, rc,
+                              coarse.apply_S(ec))
+            e2 = _vcycle(mg, lvl + 1, r2)
+            ec = jax.tree.map(lambda aa, bb: aa + bb, ec, e2)
     x = jax.tree.map(lambda xx, ee: xx + ee, x, level.prolong(ec))
     x = smooth(x, b, tuple(reversed(level.smoothers)))
     return x
@@ -979,7 +1595,9 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                     uniform_per_level=None,
                     cheb_ops: str = "exact",
                     rec_dev_per_level=None,
-                    smooth_transfers: bool = False) -> Multigrid:
+                    smooth_transfers: bool = False,
+                    galerkin_per_level=None,
+                    gamma: int = 1) -> Multigrid:
     """S_per_level: dict {n: S_n [C_n, nfd, nfd]} containing the condensed
     local Schur matrices for each mesh size n = N, N/2, ..., coarsest
     (rediscretized; the caller assembles them).
@@ -1057,6 +1675,12 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
                 sys_n, S_u.astype(dtype), irr, dS)
         else:
             apply_S = op_fn(sys_n, S_per_level[n])
+        gal = None if (galerkin_per_level is None or layout != "cl") \
+            else galerkin_per_level.get(n)
+        if gal is not None:
+            apply_S = make_galerkin_operator_cl(sys_n, gal.kernel,
+                                                gal.rows, gal.cols,
+                                                gal.blocks)
         if S_u is not None and smoother in ("block_jacobi", "chebyshev"):
             from ..methods import cells_last as _cl
             hf, vf = _cl.uniform_face_block_deltas(sys_n, dS, irr)
@@ -1094,7 +1718,13 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
             patches = []
             for g in _cl.patch_color_groups(cut_ids_per_level[n], n,
                                             patch_colors):
-                if S_u is not None:
+                if gal is not None:
+                    pb = galerkin_patch_setup(sys_n, gal, g, dtype)
+
+                    def patch(r, _sys=sys_n, _ids=g, _pb=pb):
+                        return _cl.apply_cut_patch_cl(_sys, _ids, *_pb,
+                                                      r)
+                elif S_u is not None:
                     pb = _cl.uniform_patch_setup_lean(
                         sys_n, S_u, dS, irr, g, dtype)
 
@@ -1167,7 +1797,7 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
         return _flatten(apply_c(_unflatten(v, (hshape, vshape), layout)))
 
     Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
-    chol = jnp.linalg.cholesky(Ac)
+    chol = _coarse_factor(Ac)
 
     return Multigrid(levels, chol, (hshape, vshape), n_smooth, omega,
-                     layout)
+                     layout, gamma)

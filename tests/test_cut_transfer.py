@@ -93,6 +93,117 @@ def test_zero_deviation_correction_is_identity():
     assert np.allclose(a.V, b.V, atol=1e-14)
 
 
+def test_galerkin_engine_matches_dense_rap():
+    """The pair-op Galerkin coarsening engine must reproduce the dense
+    R A_f P exactly (free block) on the cut problem at 32 -> 16,
+    including the domain-boundary masking and phantom-pair
+    cancellations."""
+    N, k = 32, 1
+    nc = N // 2
+    hdi = HHODegreeInfo(k + 1, k)
+    problem = fs.default_problem()
+    eta = fs.nitsche_eta(k)
+    fine = fs.build_level(N, hdi, problem, eta, 4, False, False, True,
+                          fitted="lean")
+    coar = fs.build_coarse_level(nc, hdi, problem, eta, 4, mixed=False)
+    fbs = bases.face_basis_size(k)
+    sys_f = make_structured_system(N, N, fbs)
+    sys_c = make_structured_system(nc, nc, fbs)
+    uni = fs._uniform_unpack(fs.uniform_static({N: fine, nc: coar}))
+    S_uf, irrf = uni[N]
+    A_f = cl.make_uniform_operator_cl(sys_f, S_uf.astype(jnp.float64),
+                                      irrf, fine.cond.dS)
+    gal = fs.band_galerkin_levels({N: fine, nc: coar}, hdi, problem,
+                                  eta, dtype=jnp.float64)
+    g = gal[nc]
+    A_c = multigrid.make_galerkin_operator_cl(sys_c, g.kernel, g.rows,
+                                              g.cols, g.blocks)
+    prol = multigrid.make_reconstruction_prolongation_cl(
+        sys_f, sys_c, hdi, 1.0 / nc, jnp.float64)
+    restr = multigrid.make_reconstruction_restriction_cl(
+        sys_f, sys_c, hdi, 1.0 / nc, jnp.float64)
+    hs, vs = (fbs, nc + 1, nc), (fbs, nc, nc + 1)
+    nH = int(np.prod(hs))
+    ntot = nH + int(np.prod(vs))
+
+    def unflat(v):
+        return cl.GridVecCL(v[:nH].reshape(hs), v[nH:].reshape(vs))
+
+    def flat(gd):
+        return jnp.concatenate([gd.H.reshape(-1), gd.V.reshape(-1)])
+
+    f1 = jax.jit(lambda v: flat(restr(A_f(prol(unflat(v))))))
+    f2 = jax.jit(lambda v: flat(A_c(unflat(v))))
+    eye = np.eye(ntot)
+    RAP = np.stack([np.asarray(f1(jnp.asarray(eye[:, j])))
+                    for j in range(ntot)], axis=1)
+    ENG = np.stack([np.asarray(f2(jnp.asarray(eye[:, j])))
+                    for j in range(ntot)], axis=1)
+    frozen = (np.abs(np.diag(ENG) - 1) < 1e-13) & \
+             ((np.abs(ENG) > 1e-13).sum(0) == 1)
+    free = ~frozen
+    D = (ENG - RAP)[np.ix_(free, free)]
+    assert np.abs(D).max() < 1e-9 * max(1.0, np.abs(RAP).max())
+
+
+def test_galerkin_patch_blocks_are_exact_restrictions():
+    """galerkin_patch_setup's blocks must equal the dense Galerkin
+    operator restricted to each patch cell's 4 faces (interior patch
+    cells; the approximate assembly missed the neighbor-pair couplings
+    and diverged at 256^2)."""
+    N, k = 32, 1
+    nc = 16
+    hdi = HHODegreeInfo(k + 1, k)
+    problem = fs.default_problem()
+    eta = fs.nitsche_eta(k)
+    fine = fs.build_level(N, hdi, problem, eta, 4, False, False, True,
+                          fitted="lean")
+    coar = fs.build_coarse_level(nc, hdi, problem, eta, 4, mixed=False)
+    fbs = bases.face_basis_size(k)
+    nfd = 4 * fbs
+    sys_c = make_structured_system(nc, nc, fbs)
+    gal = fs.band_galerkin_levels({N: fine, nc: coar}, hdi, problem,
+                                  eta, dtype=jnp.float64)
+    g = gal[nc]
+    A_c = multigrid.make_galerkin_operator_cl(sys_c, g.kernel, g.rows,
+                                              g.cols, g.blocks)
+    hs, vs = (fbs, nc + 1, nc), (fbs, nc, nc + 1)
+    nH = int(np.prod(hs))
+    ntot = nH + int(np.prod(vs))
+
+    def unflat(v):
+        return cl.GridVecCL(v[:nH].reshape(hs), v[nH:].reshape(vs))
+
+    def flat(gd):
+        return jnp.concatenate([gd.H.reshape(-1), gd.V.reshape(-1)])
+
+    f = jax.jit(lambda v: flat(A_c(unflat(v))))
+    eye = np.eye(ntot)
+    Ad = np.stack([np.asarray(f(jnp.asarray(eye[:, j])))
+                   for j in range(ntot)], axis=1)
+    pids = fs.expand_ring(coar.cut_ids, nc, 1)
+    Binv, _, _ = multigrid.galerkin_patch_setup(sys_c, g, pids,
+                                                jnp.float64)
+    B = np.linalg.inv(np.asarray(Binv))
+
+    def face_dof(kind, m, j, i):
+        if kind == "H":
+            return m * (nc + 1) * nc + j * nc + i
+        return nH + m * nc * (nc + 1) + j * (nc + 1) + i
+
+    err = 0.0
+    for c, pid in enumerate(np.asarray(pids)):
+        jj, ii = pid // nc, pid % nc
+        dofs = []
+        for kind, j, i in [("H", jj, ii), ("V", jj, ii + 1),
+                           ("H", jj + 1, ii), ("V", jj, ii)]:
+            for m in range(fbs):
+                dofs.append(face_dof(kind, m, j, i))
+        T = Ad[np.ix_(np.array(dofs), np.array(dofs))]
+        err = max(err, np.abs(B[c] - T).max())
+    assert err < 1e-9 * max(1.0, np.abs(B).max())
+
+
 @pytest.mark.slow
 def test_transfer_modes_solve_correctly():
     """Every transfer mode must converge to the same solution (h1
