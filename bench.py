@@ -81,7 +81,7 @@ def main():
     # within ~4 gaps of the fine level
     mg_coarsest = int(os.environ.get(
         "PROTON_BENCH_COARSEST",
-        "32" if os.environ.get("PROTON_BENCH_GALERKIN", "1") == "1"
+        "32" if os.environ.get("PROTON_BENCH_GALERKIN", "0") == "1"
         else "8"))
     patch_ring = int(os.environ.get("PROTON_BENCH_RING", "1"))
     cheb_degree = int(os.environ.get("PROTON_BENCH_CHEB", "4"))
@@ -250,8 +250,14 @@ def main():
 
     sizes = tuple(sorted(S_levels))
     S_list = tuple(S_levels[n] for n in sizes)
+    # EXPERIMENTAL (default off): exact-Galerkin coarse hierarchy. On
+    # CPU f64 it converges (19@64 / 34@128 / 54@256 with coarsest 32)
+    # and beats the rediscretized levels on stability (rho(E) 0.9 vs
+    # 4.9), but on TPU f32 the outer CG stagnates at rel ~2e-4
+    # (f32 V-cycle noise on the near-singular composed hierarchy) —
+    # see ROADMAP for the full measurement trail.
     use_gal = precond == "mg" and len(sizes) > 1 and \
-        os.environ.get("PROTON_BENCH_GALERKIN", "1") == "1"
+        os.environ.get("PROTON_BENCH_GALERKIN", "0") == "1"
     cut_static = tuple(
         (n, tuple(int(i) for i in fs.expand_ring(cut_levels[n], n,
                                                  patch_ring)))

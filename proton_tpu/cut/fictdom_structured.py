@@ -1119,7 +1119,7 @@ def solve_fictdom_structured(
         cg_f64: Optional[bool] = None, cg_segment: int = 0,
         compute_h1: bool = True, fitted: str = "uniform",
         mg_transfer: str = "uniform", mg_deflate: int = 0,
-        mg_galerkin: bool = True, mg_gamma: int = 1,
+        mg_galerkin: bool = False, mg_gamma: int = 1,
         side: int = LOC_NEG) -> StructuredFictdomResult:
     """End-to-end fictdom solve on the generated N x N mesh (module
     docstring). ``precond``: 'mg' (reconstruction-transfer V-cycle,
@@ -1403,7 +1403,7 @@ def segments_static(kw: dict) -> dict:
                 deflate_K=kw.get("deflate_K", 0))
 
 
-_GALERKIN_CACHE_V = "v3"   # v3: exact 4-face patch restrictions
+_GALERKIN_CACHE_V = "v4"   # v4: + host-f64 coarsest pinv factor
 
 
 def _level_deltas(lev: LevelData):
@@ -1438,18 +1438,25 @@ def band_galerkin_levels(levels: dict, hdi: HHODegreeInfo,
         out = {}
         for n, kr in per_level_np.items():
             (kern, rows, cols, blocks, BHu, BVu,
-             hj, hi, dBH, vj, vi, dBV, cells, cblocks, Bu_cell) = kr
+             hj, hi, dBH, vj, vi, dBV, cells, cblocks, Bu_cell) = kr[:15]
 
             def put(a, dt=dtype):
                 return jax.device_put(jnp.asarray(np.asarray(a, dt)),
                                       dev)
 
+            cQ = cw = None
+            if len(kr) > 15:
+                # coarsest factor stays f64 (emulated on TPU — two
+                # small matvecs per V-cycle; accuracy is the point)
+                cQ = put(kr[15], np.float64)
+                cw = put(kr[16], np.float64)
             out[n] = multigrid.GalerkinLevel(
                 put(kern), put(rows, np.int32), put(cols, np.int32),
                 put(blocks), put(BHu), put(BVu),
                 (put(hj, np.int32), put(hi, np.int32), put(dBH)),
                 (put(vj, np.int32), put(vi, np.int32), put(dBV)),
-                put(cells, np.int32), put(cblocks), put(Bu_cell))
+                put(cells, np.int32), put(cblocks), put(Bu_cell),
+                cQ, cw)
         return out
 
     cache_mode = os.environ.get("PROTON_SETUP_CACHE", "1")
@@ -1469,13 +1476,14 @@ def band_galerkin_levels(levels: dict, hdi: HHODegreeInfo,
             f"{int_refsteps}".encode()).hexdigest()[:16]
         path = os.path.join(d, f"galerkin_N{N}_{h}.npz")
     _FIELDS = ("k", "r", "c", "b", "BH", "BV", "hj", "hi", "dH",
-               "vj", "vi", "dV", "cc", "cb", "Bu")
+               "vj", "vi", "dV", "cc", "cb", "Bu", "cQ", "cw")
     if path is not None and os.path.exists(path):
         try:
             z = np.load(path)
             per = {}
             for n in sizes[:-1]:
-                per[n] = tuple(z[f"{f}{n}"] for f in _FIELDS)
+                per[n] = tuple(z[f"{f}{n}"] for f in _FIELDS
+                               if f"{f}{n}" in z.files)
             return ship(per)
         except Exception:
             pass
@@ -1502,6 +1510,18 @@ def band_galerkin_levels(levels: dict, hdi: HHODegreeInfo,
         per[nc] = (multigrid.pair_op_kernel(const), corr[0], corr[1],
                    corr[2], BHu, BVu, hj, hi, dBH, vj, vi, dBV, cells,
                    cblocks, Bu_cell)
+        if nc == min(sizes):
+            # host f64 eigh-pinv factor of the densified coarsest: the
+            # composed-Galerkin coarsest has cond ~1e5 and a genuine
+            # kernel; an on-device f32 eigh solve is only ~1e-2
+            # accurate and floors the outer f32 CG at ~2.5e-4
+            Ad = multigrid.pair_op_dense(nc, const, corr, fbs)
+            w, Q = np.linalg.eigh(0.5 * (Ad + Ad.T))
+            tol = 50.0 * len(w) * np.finfo(np.float64).eps * \
+                np.abs(w).max()
+            winv = np.where(w > tol, 1.0 / np.where(w > tol, w, 1.0),
+                            0.0)
+            per[nc] = per[nc] + (Q, winv)
     if path is not None:
         try:
             os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -1518,7 +1538,7 @@ def band_galerkin_levels(levels: dict, hdi: HHODegreeInfo,
     return ship(per)
 
 
-_MGDATA_CACHE_V = "v2"    # v2: + recdev (cut-aware transfers)
+_MGDATA_CACHE_V = "v4"    # v4: host-f64 Galerkin coarsest factor
 
 
 def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,

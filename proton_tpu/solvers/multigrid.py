@@ -768,6 +768,8 @@ class GalerkinLevel(NamedTuple):
     cells: jnp.ndarray     # [m] cells with deviating 4-face blocks
     cblocks: jnp.ndarray   # [m, nfd, nfd] EXACT 4-face restrictions
     Bu_cell: jnp.ndarray   # [nfd, nfd] uniform interior restriction
+    coarse_Q: object = None     # COARSEST level only: host-f64 eigh
+    coarse_winv: object = None  # pinv factor (see _coarse_solve)
 
 
 def pair_op_diag_data(nc: int, const: dict, corr, fbs: int):
@@ -1356,14 +1358,19 @@ def mg_setup_cl(N: int, fbs: int, S_per_level, hdi, domain: float = 1.0,
                                             g.cols, g.blocks)
     hshape = (fbs, nco + 1, nco)
     vshape = (fbs, nco, nco + 1)
-    ntot = int(np.prod(hshape) + np.prod(vshape))
-    eye = jnp.eye(ntot, dtype=dtype)
+    if gal_t[-1] is not None and gal_t[-1].coarse_Q is not None:
+        # host-f64 pinv factor shipped with the Galerkin hierarchy
+        chol = (gal_t[-1].coarse_Q, gal_t[-1].coarse_winv)
+    else:
+        ntot = int(np.prod(hshape) + np.prod(vshape))
+        eye = jnp.eye(ntot, dtype=dtype)
 
-    def col(v):
-        return _flatten(apply_c(_unflatten(v, (hshape, vshape), "cl")))
+        def col(v):
+            return _flatten(apply_c(_unflatten(v, (hshape, vshape),
+                                               "cl")))
 
-    Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
-    chol = _coarse_factor(Ac)
+        Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
+        chol = _coarse_factor(Ac)
     return MGDataCL(tuple(S_t), tuple(bj_t), tuple(lam_t),
                     tuple(patch_t), tuple(trans_t), chol,
                     tuple(recdev_t), tuple(deflate_arrays),
@@ -1514,19 +1521,93 @@ def _coarse_factor(Ac):
     pseudo-inverse is the exact coarse solve on the relevant subspace."""
     As = 0.5 * (Ac + Ac.T)
     w, Q = jnp.linalg.eigh(As)
-    n = Ac.shape[0]
-    tol = 50.0 * n * jnp.finfo(Ac.dtype).eps * jnp.max(jnp.abs(w))
+    # drop only the rounding-level kernel: the coarsest cond is ~n, so
+    # an n-proportional cutoff would zero LEGITIMATE smooth modes in
+    # f32 (50*n*eps*wmax = 2.5% of wmax at 4224 dofs — it gutted the
+    # coarse solve and the 512^2 bench ground for 1000+ segments)
+    tol = 100.0 * jnp.finfo(Ac.dtype).eps * jnp.max(jnp.abs(w))
     winv = jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
     return (Q, winv)
 
 
 def _coarse_solve(fac, rhs):
     """Apply the coarsest factor: (Q, winv) eigh-pinv tuple, or a lower
-    Cholesky factor (legacy)."""
+    Cholesky factor (legacy). The solve runs in the FACTOR's dtype —
+    Galerkin hierarchies ship a host-computed f64 factor (the coarsest
+    Galerkin cond is ~1e5; an f32 eigh-pinv solve is only ~1e-2
+    accurate and floors the outer f32 CG at ~2.5e-4, measured at
+    512^2) — and the result is cast back to the rhs dtype."""
     if isinstance(fac, tuple):
         Q, winv = fac
-        return Q @ (winv * (Q.T @ rhs))
+        y = Q @ (winv * (Q.T @ rhs.astype(Q.dtype)))
+        return y.astype(rhs.dtype)
     return jax.scipy.linalg.cho_solve((fac, True), rhs[:, None])[:, 0]
+
+
+def pair_op_dense(nc: int, const: dict, corr, fbs: int):
+    """HOST: densify the pair operator on the free face dofs of the
+    nc x nc grid (frozen rows/cols get identity) — flat dof order
+    [H(m, j, i) | V(m, j, i)], matching multigrid._flatten."""
+    nfd = 4 * fbs
+    nH = fbs * (nc + 1) * nc
+    ntot = nH + fbs * nc * (nc + 1)
+    A = np.zeros((ntot, ntot))
+
+    def face_dofs_vec(cells, slot):
+        """[len, fbs] flat dofs of slot ``slot`` of each cell, with -1
+        at frozen (domain-edge) faces."""
+        j, i = cells // nc, cells % nc
+        if slot == 0:
+            fj, fi, kind = j, i, 0
+        elif slot == 1:
+            fj, fi, kind = j, i + 1, 1
+        elif slot == 2:
+            fj, fi, kind = j + 1, i, 0
+        else:
+            fj, fi, kind = j, i, 1
+        m = np.arange(fbs)
+        if kind == 0:
+            base = fj * nc + fi
+            d = m[None, :] * (nc + 1) * nc + base[:, None]
+            bad = (fj == 0) | (fj == nc)
+        else:
+            base = fj * (nc + 1) + fi
+            d = nH + m[None, :] * nc * (nc + 1) + base[:, None]
+            bad = (fi == 0) | (fi == nc)
+        d[bad] = -1
+        return d
+
+    def add_blocks(ca, cb, B):
+        """B [len, nfd, nfd] (or [nfd, nfd] broadcast) added at the
+        slot-dof products of cell arrays ca, cb."""
+        if B.ndim == 2:
+            B = np.broadcast_to(B, (len(ca),) + B.shape)
+        for s1 in range(4):
+            d1 = face_dofs_vec(ca, s1)
+            for s2 in range(4):
+                d2 = face_dofs_vec(cb, s2)
+                ok = (d1[:, 0] >= 0) & (d2[:, 0] >= 0)
+                if not ok.any():
+                    continue
+                np.add.at(A, (d1[ok][:, :, None], d2[ok][:, None, :]),
+                          B[ok][:, s1 * fbs:(s1 + 1) * fbs,
+                                s2 * fbs:(s2 + 1) * fbs])
+
+    cells = np.arange(nc * nc)
+    jj, ii = cells // nc, cells % nc
+    for (dy, dx), B in const.items():
+        ok = (jj + dy >= 0) & (jj + dy < nc) & (ii + dx >= 0) & \
+            (ii + dx < nc)
+        ca = cells[ok]
+        add_blocks(ca, ca + dy * nc + dx, np.asarray(B))
+    rows, cols, blocks = corr
+    if len(np.asarray(rows)):
+        add_blocks(np.asarray(rows), np.asarray(cols),
+                   np.asarray(blocks))
+
+    frozen = np.abs(A).sum(0) + np.abs(A).sum(1) == 0
+    A[frozen, frozen] = 1.0
+    return A
 
 
 def _flatten(x):
@@ -1789,15 +1870,21 @@ def build_multigrid(N: int, fbs: int, S_per_level, hdi=None,
     # densify the coarsest operator
     nco = sizes[-1]
     hshape, vshape = coarse_shapes(nco)
-    ntot = int(np.prod(hshape) + np.prod(vshape))
-    eye = jnp.eye(ntot, dtype=dtype)
-    apply_c = levels[-1].apply_S
+    gal_co = None if (galerkin_per_level is None or layout != "cl") \
+        else galerkin_per_level.get(nco)
+    if gal_co is not None and gal_co.coarse_Q is not None:
+        chol = (gal_co.coarse_Q, gal_co.coarse_winv)
+    else:
+        ntot = int(np.prod(hshape) + np.prod(vshape))
+        eye = jnp.eye(ntot, dtype=dtype)
+        apply_c = levels[-1].apply_S
 
-    def col(v):
-        return _flatten(apply_c(_unflatten(v, (hshape, vshape), layout)))
+        def col(v):
+            return _flatten(apply_c(_unflatten(v, (hshape, vshape),
+                                               layout)))
 
-    Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
-    chol = _coarse_factor(Ac)
+        Ac = jax.vmap(col, in_axes=1, out_axes=1)(eye)
+        chol = _coarse_factor(Ac)
 
     return Multigrid(levels, chol, (hshape, vshape), n_smooth, omega,
                      layout, gamma)
