@@ -309,7 +309,22 @@ def main():
     t_mg_setup = time.perf_counter() - t0
 
     # ---------------- condensed face-grid solve ---------------------------
+    # k >= 2 at N >= 256: libtpu faults on the while_loop-wrapped deep
+    # V-cycle (every component runs standalone; the multilevel in-loop
+    # composite crashes the worker — scripts/k2_fault_hunt.py), so the
+    # solve runs as straight-line unrolled chunks with a host loop
+    segstyle = os.environ.get(
+        "PROTON_BENCH_SEGSTYLE",
+        "chunk" if (k >= 2 and N >= 256 and
+                    jax.default_backend() == "tpu") else "loop")
+
+    chunk_steps = int(os.environ.get("PROTON_BENCH_CHUNK", "2"))
+
     def solve():
+        if segstyle == "chunk" and fs.segments_can_reuse(kw):
+            return fs.solve_chunked(mesh, dofmap, cond, S_list, cgp,
+                                    kw, pre=mg_pre, gal_list=gal_list,
+                                    steps=chunk_steps)
         if segment:
             return fs.solve_segments(mesh, dofmap, cond, S_list, cgp,
                                      segment, kw, pre=mg_pre,

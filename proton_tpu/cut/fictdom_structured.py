@@ -1365,6 +1365,160 @@ def _cg_seg_jit(S_fine, mgdata, rhs, x0, nr0, *, sizes, hdi,
         nr0_out
 
 
+def _tree_dot(a, b):
+    return sum(jnp.vdot(x, y).real for x, y in
+               zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi",
+                                             "cut_levels", "mg_coarsest",
+                                             "n_smooth", "cheb_degree",
+                                             "patch_colors",
+                                             "uniform_levels",
+                                             "cheb_ops", "patch_sweeps",
+                                             "smooth_transfers",
+                                             "deflate_K", "mg_gamma",
+                                             "steps"))
+def _cg_chunk_jit(S_fine, mgdata, rhs, x, r, p, rz, *, sizes, hdi,
+                  cut_levels, mg_coarsest, n_smooth, cheb_degree,
+                  patch_colors=1, uniform_levels=None,
+                  cheb_ops="exact", patch_sweeps=1,
+                  smooth_transfers=False, deflate_K=0, mg_gamma=1,
+                  steps=5):
+    """``steps`` PCG iterations as ONE STRAIGHT-LINE program (Python-
+    unrolled, no lax.while_loop): libtpu faults on the while_loop-
+    wrapped deep V-cycle at k=2 >= 256^2 (every component and the full
+    V-cycle run standalone and a 2-level loop runs; the multilevel
+    in-loop composite crashes the worker — scripts/k2_fault_hunt.py).
+    The host loop around this program carries the convergence test.
+    Pass x=None to start a solve (r = rhs, p = z0)."""
+    N = max(sizes)
+    fbs = bases.face_basis_size(hdi.face_degree)
+    sys_f = structured.make_structured_system(N, N, fbs)
+    uni = _uniform_unpack(uniform_levels)
+    if uni is not None and N in uni:
+        S_u, irr = uni[N]
+        lean_in = S_fine.shape[1] == len(irr) and len(irr) != N * N
+        dS = S_fine if lean_in else cells_last.uniform_deltas(
+            S_fine, S_u.astype(S_fine.dtype), irr)
+        apply_S = cells_last.make_uniform_operator_cl(
+            sys_f, S_u.astype(S_fine.dtype), irr, dS)
+    else:
+        apply_S = cells_last.make_structured_operator_cl(sys_f, S_fine)
+    cuts = {n: np.asarray(ids, dtype=np.int64) for n, ids in cut_levels}
+    precond = functools.partial(
+        multigrid.mg_precondition_cl, mgdata, N=N, fbs=fbs,
+        cut_ids_per_level=cuts, coarsest=mg_coarsest,
+        n_smooth=n_smooth, cheb_degree=cheb_degree,
+        patch_colors=patch_colors, hdi=hdi,
+        uniform_per_level=uni, cheb_ops=cheb_ops,
+        patch_sweeps=patch_sweeps,
+        smooth_transfers=smooth_transfers, mg_gamma=mg_gamma)
+
+    if x is None:
+        # (re)start: true residual from rhs (x stays implicit zero
+        # relative to the caller's accumulated solution)
+        x = jax.tree.map(jnp.zeros_like, rhs)
+        r = rhs
+        z = precond(r)
+        p = z
+        rz = _tree_dot(r, z)
+    for _ in range(steps):
+        q = apply_S(p)
+        alpha = rz / _tree_dot(p, q)
+        x = jax.tree.map(lambda a, b: a + alpha * b, x, p)
+        r = jax.tree.map(lambda a, b: a - alpha * b, r, q)
+        z = precond(r)
+        rz_new = _tree_dot(r, z)
+        beta = rz_new / rz
+        p = jax.tree.map(lambda a, b: a + beta * b, z, p)
+        rz = rz_new
+    nr = jnp.sqrt(_tree_dot(r, r))
+    return x, r, p, rz, nr
+
+
+def solve_chunked(mesh, dofmap, cond, S_list, cg_params, kw: dict,
+                  pre=None, gal_list=None, steps: int = 5,
+                  restart: int = 50):
+    """PCG via straight-line ``steps``-iteration programs with a host
+    convergence loop and true-residual restarts every ``restart``
+    iterations — the k>=2 large-N path (see _cg_chunk_jit). Returns
+    (local, iterations, exit_reason, rel_residual) like
+    solve_segments."""
+    sizes = kw["sizes"]
+    hdi = kw["hdi"]
+    stat = segments_static(kw)
+    if pre is not None:
+        mgdata, rhs, gF_cl = pre
+    else:
+        mgdata = mg_setup_cached(S_list, stat, kw["problem"], None,
+                                 gal_list)
+        rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
+                              problem=kw["problem"],
+                              uniform_levels=stat["uniform_levels"])
+    S_fine = (cond.dS if isinstance(cond, cells_last.UniformCondCL)
+              else cond.S)
+    ckw = dict(n_smooth=kw.get("n_smooth", 1),
+               patch_sweeps=kw.get("patch_sweeps", 1),
+               smooth_transfers=kw.get("smooth_transfers", False),
+               mg_gamma=kw.get("mg_gamma", 1), steps=steps, **stat)
+    nr0 = None
+    x_acc = jax.tree.map(jnp.zeros_like, rhs)
+    b = rhs
+    total = 0
+    ex = cg.MAX_ITER_REACHED
+    rel = 1.0
+    while total < cg_params.max_iter:
+        # (re)start a chunk run against the current true residual
+        x = r = p = rz = None
+        inner = 0
+        while inner < restart and total < cg_params.max_iter:
+            x, r, p, rz, nr = _cg_chunk_jit(S_fine, mgdata, b, x, r, p,
+                                            rz, **ckw)
+            inner += steps
+            total += steps
+            nr_f = float(nr)
+            if nr0 is None:
+                nr0 = float(jnp.sqrt(_tree_dot(rhs, rhs)))
+            rel = nr_f / nr0
+            if not np.isfinite(rel) or rel > \
+                    cg_params.divergence_threshold:
+                ex = cg.DIVERGED
+                break
+            if rel < cg_params.convergence_threshold:
+                ex = cg.CONVERGED
+                break
+        x_acc = jax.tree.map(lambda a, d: a + d, x_acc, x)
+        if ex in (cg.CONVERGED, cg.DIVERGED):
+            break
+        # true-residual restart
+        b = _residual_jit(S_fine, x_acc, rhs,
+                          uniform_levels=stat["uniform_levels"],
+                          sizes=sizes, hdi=hdi)
+    local = _recover_jit(cond, x_acc, gF_cl, sizes=sizes, hdi=hdi,
+                         uniform_levels=stat["uniform_levels"])
+    return local, jnp.int32(total), jnp.int32(ex), jnp.float32(rel)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "hdi",
+                                             "uniform_levels"))
+def _residual_jit(S_fine, x, rhs, *, sizes, hdi, uniform_levels=None):
+    N = max(sizes)
+    fbs = bases.face_basis_size(hdi.face_degree)
+    sys_f = structured.make_structured_system(N, N, fbs)
+    uni = _uniform_unpack(uniform_levels)
+    if uni is not None and N in uni:
+        S_u, irr = uni[N]
+        lean_in = S_fine.shape[1] == len(irr) and len(irr) != N * N
+        dS = S_fine if lean_in else cells_last.uniform_deltas(
+            S_fine, S_u.astype(S_fine.dtype), irr)
+        apply_S = cells_last.make_uniform_operator_cl(
+            sys_f, S_u.astype(S_fine.dtype), irr, dS)
+    else:
+        apply_S = cells_last.make_structured_operator_cl(sys_f, S_fine)
+    return jax.tree.map(lambda a, b: a - b, rhs, apply_S(x))
+
+
 @functools.partial(jax.jit, static_argnames=("sizes", "hdi",
                                              "uniform_levels"))
 def _recover_jit(cond, x, gF_cl, *, sizes, hdi, uniform_levels=None):
