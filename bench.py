@@ -296,6 +296,7 @@ def main():
         gal_list = tuple(gal.get(n) for n in sizes)
 
     mg_pre = None
+    chunk_fns = None
     if segment and fs.segments_can_reuse(kw):
         stat = fs.segments_static(kw)
         mgdata = fs.mg_setup_cached(S_list, stat, problem, drec_list,
@@ -318,13 +319,23 @@ def main():
         "chunk" if (k >= 2 and N >= 256 and
                     jax.default_backend() == "tpu") else "loop")
 
-    chunk_steps = int(os.environ.get("PROTON_BENCH_CHUNK", "2"))
+    chunk_steps = int(os.environ.get("PROTON_BENCH_CHUNK", "5"))
+    if segstyle == "chunk" and fs.segments_can_reuse(kw) and \
+            mg_pre is not None:
+        stat = fs.segments_static(kw)
+        S_fine = (cond.dS if isinstance(cond, cells_last.UniformCondCL)
+                  else cond.S)
+        chunk_fns = fs._make_chunk_fns(
+            S_fine, mg_pre[0], n_smooth=kw.get("n_smooth", 1),
+            patch_sweeps=kw.get("patch_sweeps", 1),
+            smooth_transfers=kw.get("smooth_transfers", False),
+            mg_gamma=kw.get("mg_gamma", 1), steps=chunk_steps, **stat)
 
     def solve():
         if segstyle == "chunk" and fs.segments_can_reuse(kw):
             return fs.solve_chunked(mesh, dofmap, cond, S_list, cgp,
                                     kw, pre=mg_pre, gal_list=gal_list,
-                                    steps=chunk_steps)
+                                    steps=chunk_steps, fns=chunk_fns)
         if segment:
             return fs.solve_segments(mesh, dofmap, cond, S_list, cgp,
                                      segment, kw, pre=mg_pre,

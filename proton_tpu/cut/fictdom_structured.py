@@ -1370,28 +1370,17 @@ def _tree_dot(a, b):
                zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "hdi",
-                                             "cut_levels", "mg_coarsest",
-                                             "n_smooth", "cheb_degree",
-                                             "patch_colors",
-                                             "uniform_levels",
-                                             "cheb_ops", "patch_sweeps",
-                                             "smooth_transfers",
-                                             "deflate_K", "mg_gamma",
-                                             "steps"))
-def _cg_chunk_jit(S_fine, mgdata, rhs, x, r, p, rz, *, sizes, hdi,
-                  cut_levels, mg_coarsest, n_smooth, cheb_degree,
-                  patch_colors=1, uniform_levels=None,
-                  cheb_ops="exact", patch_sweeps=1,
-                  smooth_transfers=False, deflate_K=0, mg_gamma=1,
-                  steps=5):
-    """``steps`` PCG iterations as ONE STRAIGHT-LINE program (Python-
-    unrolled, no lax.while_loop): libtpu faults on the while_loop-
-    wrapped deep V-cycle at k=2 >= 256^2 (every component and the full
-    V-cycle run standalone and a 2-level loop runs; the multilevel
-    in-loop composite crashes the worker — scripts/k2_fault_hunt.py).
-    The host loop around this program carries the convergence test.
-    Pass x=None to start a solve (r = rhs, p = z0)."""
+def _make_chunk_fns(S_fine, mgdata, *, sizes, hdi, cut_levels,
+                    mg_coarsest, n_smooth, cheb_degree, patch_colors,
+                    uniform_levels, cheb_ops, patch_sweeps,
+                    smooth_transfers, mg_gamma, deflate_K, steps):
+    """(start, cont) jitted PCG chunk programs with every setup array
+    CLOSED OVER as a compile-time constant: libtpu faults on the k=2
+    multilevel V-cycle program when the MGDataCL arrays arrive as jit
+    ARGUMENTS, and runs the bit-identical math when they are baked in
+    (scripts/k2_fault_hunt.py + the const/arg A-B). The chunks are
+    straight-line ``steps``-iteration programs (no lax.while_loop —
+    also implicated); only the CG state crosses the jit boundary."""
     N = max(sizes)
     fbs = bases.face_basis_size(hdi.face_degree)
     sys_f = structured.make_structured_system(N, N, fbs)
@@ -1415,35 +1404,41 @@ def _cg_chunk_jit(S_fine, mgdata, rhs, x, r, p, rz, *, sizes, hdi,
         patch_sweeps=patch_sweeps,
         smooth_transfers=smooth_transfers, mg_gamma=mg_gamma)
 
-    if x is None:
-        # (re)start: true residual from rhs (x stays implicit zero
-        # relative to the caller's accumulated solution)
-        x = jax.tree.map(jnp.zeros_like, rhs)
-        r = rhs
-        z = precond(r)
-        p = z
-        rz = _tree_dot(r, z)
-    for _ in range(steps):
-        q = apply_S(p)
-        alpha = rz / _tree_dot(p, q)
-        x = jax.tree.map(lambda a, b: a + alpha * b, x, p)
-        r = jax.tree.map(lambda a, b: a - alpha * b, r, q)
-        z = precond(r)
-        rz_new = _tree_dot(r, z)
-        beta = rz_new / rz
-        p = jax.tree.map(lambda a, b: a + beta * b, z, p)
-        rz = rz_new
-    nr = jnp.sqrt(_tree_dot(r, r))
-    return x, r, p, rz, nr
+    def iterate(x, r, p, rz, n_iters):
+        for _ in range(n_iters):
+            q = apply_S(p)
+            alpha = rz / _tree_dot(p, q)
+            x = jax.tree.map(lambda a, b: a + alpha * b, x, p)
+            r = jax.tree.map(lambda a, b: a - alpha * b, r, q)
+            z = precond(r)
+            rz_new = _tree_dot(r, z)
+            beta = rz_new / rz
+            p = jax.tree.map(lambda a, b: a + beta * b, z, p)
+            rz = rz_new
+        nr = jnp.sqrt(_tree_dot(r, r))
+        return x, r, p, rz, nr
+
+    @jax.jit
+    def start(b):
+        x = jax.tree.map(jnp.zeros_like, b)
+        z = precond(b)
+        rz = _tree_dot(b, z)
+        return iterate(x, b, z, rz, steps)
+
+    @jax.jit
+    def cont(x, r, p, rz):
+        return iterate(x, r, p, rz, steps)
+
+    return start, cont
 
 
 def solve_chunked(mesh, dofmap, cond, S_list, cg_params, kw: dict,
                   pre=None, gal_list=None, steps: int = 5,
-                  restart: int = 50):
-    """PCG via straight-line ``steps``-iteration programs with a host
-    convergence loop and true-residual restarts every ``restart``
-    iterations — the k>=2 large-N path (see _cg_chunk_jit). Returns
-    (local, iterations, exit_reason, rel_residual) like
+                  restart: int = 50, fns=None):
+    """PCG via straight-line ``steps``-iteration chunk programs with a
+    host convergence loop and true-residual restarts every ``restart``
+    iterations — the k>=2 large-N TPU path (see _make_chunk_fns).
+    Returns (local, iterations, exit_reason, rel_residual) like
     solve_segments."""
     sizes = kw["sizes"]
     hdi = kw["hdi"]
@@ -1458,31 +1453,34 @@ def solve_chunked(mesh, dofmap, cond, S_list, cg_params, kw: dict,
                               uniform_levels=stat["uniform_levels"])
     S_fine = (cond.dS if isinstance(cond, cells_last.UniformCondCL)
               else cond.S)
-    ckw = dict(n_smooth=kw.get("n_smooth", 1),
-               patch_sweeps=kw.get("patch_sweeps", 1),
-               smooth_transfers=kw.get("smooth_transfers", False),
-               mg_gamma=kw.get("mg_gamma", 1), steps=steps, **stat)
-    nr0 = None
+    if fns is not None:
+        # prebuilt chunk programs (the closures bake the setup arrays
+        # as constants, so rebuilding them per solve() RECOMPILES)
+        start, cont = fns
+    else:
+        start, cont = _make_chunk_fns(
+            S_fine, mgdata, n_smooth=kw.get("n_smooth", 1),
+            patch_sweeps=kw.get("patch_sweeps", 1),
+            smooth_transfers=kw.get("smooth_transfers", False),
+            mg_gamma=kw.get("mg_gamma", 1), steps=steps, **stat)
+    nr0 = float(jnp.sqrt(_tree_dot(rhs, rhs)))
     x_acc = jax.tree.map(jnp.zeros_like, rhs)
     b = rhs
     total = 0
     ex = cg.MAX_ITER_REACHED
     rel = 1.0
     while total < cg_params.max_iter:
-        # (re)start a chunk run against the current true residual
         x = r = p = rz = None
         inner = 0
         while inner < restart and total < cg_params.max_iter:
-            x, r, p, rz, nr = _cg_chunk_jit(S_fine, mgdata, b, x, r, p,
-                                            rz, **ckw)
+            if x is None:
+                x, r, p, rz, nr = start(b)
+            else:
+                x, r, p, rz, nr = cont(x, r, p, rz)
             inner += steps
             total += steps
-            nr_f = float(nr)
-            if nr0 is None:
-                nr0 = float(jnp.sqrt(_tree_dot(rhs, rhs)))
-            rel = nr_f / nr0
-            if not np.isfinite(rel) or rel > \
-                    cg_params.divergence_threshold:
+            rel = float(nr) / nr0
+            if not np.isfinite(rel) or rel >                     cg_params.divergence_threshold:
                 ex = cg.DIVERGED
                 break
             if rel < cg_params.convergence_threshold:
