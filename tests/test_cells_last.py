@@ -118,6 +118,7 @@ def test_cut_patch_smoother_cl_matches():
     assert np.allclose(np.asarray(y_cl.V), np.asarray(y_rm.V), atol=1e-11)
 
 
+@pytest.mark.slow
 def test_multigrid_cl_matches_row_major():
     N, k = 32, 1
     S_rm, S_cl = {}, {}

@@ -68,6 +68,7 @@ def test_fictdom_mixed_precision(k):
         assert float(r.h1_error) < 5e-3   # measured f32 noise floor
 
 
+@pytest.mark.slow
 def test_fictdom_accurate_mode_f32_mg():
     """Accurate mode: f64 system + CG with the float32 V-cycle as
     preconditioner reproduces the f64 discretization error at k=2 (where
@@ -86,6 +87,7 @@ def test_fictdom_accurate_mode_f32_mg():
     assert float(r.h1_error) < 1.05 * float(ref.h1_error)
 
 
+@pytest.mark.slow
 def test_mg_reduces_iterations_vs_jacobi():
     """The round-2 multigrid gate (VERDICT item 3): MG-PCG iterations
     < Jacobi-PCG / 10 on the cut fictdom system at 128^2."""
@@ -274,6 +276,7 @@ def test_uniform_split_operator_matches_structured():
     assert float(jnp.max(jnp.abs(zu.V - zf.V))) < 1e-12
 
 
+@pytest.mark.slow
 def test_uniform_solve_matches_full():
     """End-to-end: the uniform fitted mode (split operator through MG
     setup, V-cycle and CG) converges to the same solution as the full
@@ -291,6 +294,7 @@ def test_uniform_solve_matches_full():
                       rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_uniform_segmented_solve_matches():
     """The segmented path (_mg_setup_jit/_cg_seg_jit) with the uniform
     decomposition matches the full-path solution."""
@@ -305,6 +309,7 @@ def test_uniform_segmented_solve_matches():
     assert float(jnp.max(jnp.abs(r_u.local - r_f.local))) < 1e-8
 
 
+@pytest.mark.slow
 def test_uniform64_matches_chunked_f64():
     """The f64 uniform-mode assembly (exact f64 unit blocks + chunked
     f64 rhs + f64 splices) equals the accurate-mode chunked per-cell
@@ -362,6 +367,7 @@ def test_lean_uniform_assembly_matches_dense():
         assert np.abs(da - db).max() < 1e-12 * scale, name
 
 
+@pytest.mark.slow
 def test_lean_solve_matches_dense():
     """End-to-end lean solve (uniform rhs fold, dS-only MG setup,
     patch-from-deltas, lean recovery) == the dense uniform solve."""
@@ -384,6 +390,7 @@ def test_lean_solve_matches_dense():
     assert float(jnp.max(jnp.abs(r_s.local - r_d.local))) < 1e-8
 
 
+@pytest.mark.slow
 def test_lean_mixed_matches_dense_mixed():
     """Lean + mixed precision (f64 cut splice) == dense uniform mixed,
     and BOTH match the pure-f64 discretization error: with the X/y
@@ -411,6 +418,7 @@ def test_lean_mixed_matches_dense_mixed():
                       rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_patch_colors_multiplicative():
     """patch_colors=2 (checkerboard multiplicative patch sweeps) solves
     the same system to the same solution, in no more iterations than
@@ -506,6 +514,7 @@ def test_build_coarse_level_cache_roundtrip(tmp_path, monkeypatch):
                            (abs(np.asarray(ref.cond.dS)).max() + 1e-30))
 
 
+@pytest.mark.slow
 def test_solve_segments_pre_matches_inline():
     """solve_segments with a precomputed (mgdata, rhs, gF) triple ==
     letting it build its own setup (the bench mg_setup/solve split)."""
