@@ -146,9 +146,15 @@ def main():
     # and sat inside the timed assembly phase (round-3 headline
     # regression); the splice is setup, not per-element assembly
     cut_sub = None
+    t_splice = 0.0
     if _MIXED:
+        t1 = time.perf_counter()
         cut_sub = fs.cut64_condensed_cached(N, batch, hdi, problem, eta,
                                             with_rhs=True)
+        # recorded separately so cross-round elements/s comparisons stay
+        # honest: rounds <= 3 timed the splice inside the assembly
+        # phase; warm runs since load it from the setup cache
+        t_splice = time.perf_counter() - t1
     sync(geom.bar, mesh.cell_faces, batch.interface, dofmap.asm_idx,
          *(jax.tree.leaves(cut_sub) if cut_sub is not None else ()))
     t_setup = time.perf_counter() - t0
@@ -280,6 +286,9 @@ def main():
                    for n in sizes)
         if any(d is not None for d in dl):
             drec_list = dl
+        else:
+            print("WARNING: mg_transfer='cut' but no level has drec — "
+                  "running UNIFORM transfers", file=sys.stderr)
     kw["smooth_transfers"] = mg_transfer == "smoothed"
     # interface-band deflation: 2K+1 Fourier modes along the band
     kw["deflate_K"] = int(os.environ.get("PROTON_BENCH_DEFLATE", "0"))
@@ -297,10 +306,14 @@ def main():
 
     mg_pre = None
     chunk_fns = None
+    # knobs that shape the S values but live outside (problem, stat):
+    # part of the config-keyed mgdata cache key (see mg_setup_cached)
+    kw["cache_extra"] = f"eta={eta}|prec={_PRECISION}|lean={lean}"
     if segment and fs.segments_can_reuse(kw):
         stat = fs.segments_static(kw)
         mgdata = fs.mg_setup_cached(S_list, stat, problem, drec_list,
-                                    gal_list)
+                                    gal_list,
+                                    extra_key=kw["cache_extra"])
         rhs, gF_cl = fs._rhs_jit(mesh, dofmap, cond, sizes=sizes,
                                  hdi=hdi, problem=problem,
                                  uniform_levels=stat["uniform_levels"])
@@ -341,9 +354,10 @@ def main():
                                      segment, kw, pre=mg_pre,
                                      drec_list=drec_list,
                                      gal_list=gal_list)
+        kw_jit = {k2: v for k2, v in kw.items() if k2 != "cache_extra"}
         out = fs._solve_jit(mesh, dofmap, cond, S_list, cg_params=cgp,
                             drec_list=drec_list, gal_list=gal_list,
-                            **kw)
+                            **kw_jit)
         return out[0], out[2], out[3], out[4]
 
     local, iters, exit_reason, rel = solve()
@@ -380,6 +394,7 @@ def main():
         "condensed_dofs": int(dofmap.n_dofs - dofmap.n_cells * dofmap.cbs),
         "warmup_s": round(t_warmup, 3),
         "setup_s": round(t_setup, 3),
+        "cut_splice_s": round(t_splice, 3),
         "assembly_s": round(t_assembly, 4),
         "system_s": round(t_system, 3),
         "mg_setup_s": round(t_mg_setup, 3),

@@ -945,6 +945,18 @@ def _coarse_cache_file(n: int, hdi: HHODegreeInfo, eta: float,
     return os.path.join(d, f"mglevel_n{n}_{h}.npz")
 
 
+def _want_drec(on_host: bool) -> bool:
+    """Whether coarse levels need the cut-aware transfer deviations
+    (drec). CPU always computes them (the regression tests use them);
+    remote backends only on request — EITHER knob spelling works (the
+    library knob PROTON_MG_CUTTRANSFER=1 or bench's
+    PROTON_BENCH_MGTRANSFER=cut), so selecting the 'cut' transfer mode
+    can never silently run uniform transfers."""
+    return (not on_host or
+            os.environ.get("PROTON_MG_CUTTRANSFER") == "1" or
+            os.environ.get("PROTON_BENCH_MGTRANSFER") == "cut")
+
+
 def build_coarse_level(n: int, hdi: HHODegreeInfo,
                        problem: FictdomProblem, eta: float,
                        int_refsteps: int, mixed: bool) -> LevelData:
@@ -969,6 +981,11 @@ def build_coarse_level(n: int, hdi: HHODegreeInfo,
         if os.path.exists(path):
             try:
                 z = np.load(path)
+                # a cache entry written without drec must MISS when the
+                # 'cut' transfer mode needs it (else the mode silently
+                # runs uniform transfers off a stale hit)
+                if _want_drec(on_host) and "drec" not in z:
+                    raise KeyError("cache entry lacks drec")
                 dev = jax.devices()[0]
                 dS = jax.device_put(jnp.asarray(z["dS"]), dev)
                 drec = (jax.device_put(jnp.asarray(z["drec"]), dev)
@@ -986,7 +1003,7 @@ def build_coarse_level(n: int, hdi: HHODegreeInfo,
     # drec feeds only the experimental 'cut' transfer mode; on remote
     # backends its per-size jit would cost setup minutes, so gate it
     # (CPU computes it always — the accuracy/regression tests use it)
-    if not on_host or os.environ.get("PROTON_MG_CUTTRANSFER") == "1":
+    if _want_drec(on_host):
         drec = _level_recdev(lev.batch, lev.cut_ids, lev.irr_ids, hdi,
                              problem, eta, n)
         lev = lev._replace(drec=drec)
@@ -1447,7 +1464,8 @@ def solve_chunked(mesh, dofmap, cond, S_list, cg_params, kw: dict,
         mgdata, rhs, gF_cl = pre
     else:
         mgdata = mg_setup_cached(S_list, stat, kw["problem"], None,
-                                 gal_list)
+                                 gal_list,
+                                 extra_key=kw.get("cache_extra", ""))
         rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
                               problem=kw["problem"],
                               uniform_levels=stat["uniform_levels"])
@@ -1464,6 +1482,15 @@ def solve_chunked(mesh, dofmap, cond, S_list, cg_params, kw: dict,
             smooth_transfers=kw.get("smooth_transfers", False),
             mg_gamma=kw.get("mg_gamma", 1), steps=steps, **stat)
     nr0 = float(jnp.sqrt(_tree_dot(rhs, rhs)))
+    if nr0 == 0.0:
+        # zero RHS: x = 0 is the exact solution (matches
+        # cg.conjugated_gradient's own zero-norm early exit; without
+        # this, rel = nr/0 -> NaN and the solve reports DIVERGED)
+        x_acc = jax.tree.map(jnp.zeros_like, rhs)
+        local = _recover_jit(cond, x_acc, gF_cl, sizes=sizes, hdi=hdi,
+                             uniform_levels=stat["uniform_levels"])
+        return (local, jnp.int32(0), jnp.int32(cg.CONVERGED),
+                jnp.float32(0.0))
     x_acc = jax.tree.map(jnp.zeros_like, rhs)
     b = rhs
     total = 0
@@ -1690,11 +1717,12 @@ def band_galerkin_levels(levels: dict, hdi: HHODegreeInfo,
     return ship(per)
 
 
-_MGDATA_CACHE_V = "v4"    # v4: host-f64 Galerkin coarsest factor
+_MGDATA_CACHE_V = "v5"    # v5: config-keyed (no S-byte hash) — bump
+                          # whenever assembly/MG-setup SEMANTICS change
 
 
 def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
-                    drec_list=None, gal_list=None):
+                    drec_list=None, gal_list=None, extra_key: str = ""):
     """_mg_setup_jit with an on-disk cache of the RESULT arrays.
 
     The MGDataCL pytree is O(band) small (per-level dS, bj corrections,
@@ -1703,9 +1731,21 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
     and the static config, but its one-jit setup program recompiles
     ~2.5-5 min in EVERY fresh process on the remote TPU backend (the
     persistent XLA cache does not carry it, unlike the solve segments).
-    Caching the arrays keyed by (geometry, static config, sha1 of the
-    fine S/dS columns) turns warm mg-setup into a pickle load + one
-    device_put. Gated like the other setup caches: non-CPU backends
+
+    The key is (cache version, problem.cache_key, static config, S
+    shapes+dtypes, extra_key) — the same determinism scheme as the
+    classify/cut64/coarse-level caches. The S VALUES are deliberately
+    NOT hashed: they are a pure function of the key modulo ulp-level
+    f32 assembly jitter, and hashing raw f32 bytes made warm hits
+    non-reproducible run-to-run (round-4 bench regression: a one-ulp
+    drift in any assembly output missed every warm path and recompiled
+    mg-setup for 13 min). An ulp-off cached MGDataCL is still the same
+    SPD preconditioner for CG purposes. Consequence: bump
+    _MGDATA_CACHE_V on any change to assembly or mg_setup_cl semantics.
+    Callers whose S depends on knobs outside (problem, stat) must pass
+    them via ``extra_key`` (bench passes eta + precision).
+
+    Gated like the other setup caches: non-CPU backends
     (or PROTON_SETUP_CACHE=force), PROTON_SETUP_CACHE=0 disables."""
     import hashlib
     import pickle
@@ -1717,13 +1757,15 @@ def mg_setup_cached(S_list, stat: dict, problem: FictdomProblem,
         return _mg_setup_jit(S_list, drec_list, gal_list, **stat)
 
     fp = hashlib.sha1()
-    fp.update(f"{_MGDATA_CACHE_V}|{problem.cache_key}|".encode())
+    fp.update(f"{_MGDATA_CACHE_V}|{problem.cache_key}|{extra_key}|"
+              .encode())
     for k in sorted(stat):
         fp.update(f"|{k}={stat[k]!r}".encode())
-    Sf = np.asarray(jax.device_get(S_list[-1]))
-    fp.update(str(Sf.shape).encode())
-    fp.update(str(Sf.dtype).encode())
-    fp.update(Sf.tobytes())
+    # shapes + dtypes of every level's S/dS pin mesh sizes, the lean-vs-
+    # dense representation and the precision mode; values are a pure
+    # function of the key (see docstring)
+    for S in S_list:
+        fp.update(f"|{tuple(S.shape)}:{S.dtype}".encode())
     # drec values are a pure function of (geometry, stat); shapes pin
     # presence + per-level sizes
     fp.update(repr([None if d is None else tuple(d.shape)
@@ -1774,13 +1816,14 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
     if not segments_can_reuse(kw):
         # non-MG / special modes: per-segment _solve_jit (setup is cheap
         # there or the mode is CPU-only anyway)
+        kw_jit = {k: v for k, v in kw.items() if k != "cache_extra"}
         x = nr0 = None
         total = 0
         while True:
             local, x, it, ex, rel, nr0 = _solve_jit(
                 mesh, dofmap, cond, S_list, x0=x, nr0=nr0,
                 drec_list=drec_list, gal_list=gal_list,
-                cg_params=seg_params, **kw)
+                cg_params=seg_params, **kw_jit)
             total += int(it)
             ex = int(ex)
             if ex in (cg.CONVERGED, cg.DIVERGED) or \
@@ -1795,7 +1838,8 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
         mgdata, rhs, gF_cl = pre
     else:
         mgdata = mg_setup_cached(S_list, stat, kw["problem"], drec_list,
-                                 gal_list)
+                                 gal_list,
+                                 extra_key=kw.get("cache_extra", ""))
         rhs, gF_cl = _rhs_jit(mesh, dofmap, cond, sizes=sizes, hdi=hdi,
                               problem=kw["problem"],
                               uniform_levels=stat["uniform_levels"])

@@ -1414,6 +1414,19 @@ def mg_precondition_cl(data: MGDataCL, r, *, N: int, fbs: int,
     Schwarz, SPD)."""
     from ..methods import cells_last as cl
 
+    if mg_gamma > 1 and not any(g is not None for g in data.galerkin):
+        # W-style re-visits make the coarse correction 2M^-1 - M^-1AM^-1,
+        # indefinite whenever lambda_max(M^-1 A) >= 2 — exactly the
+        # measured regime (rho(E)~4.9) of the rediscretized cut
+        # hierarchy; a non-SPD preconditioner breaks CG. Only the
+        # Galerkin hierarchy (rho < 1) supports gamma > 1.
+        import warnings
+        warnings.warn("mg_gamma > 1 requires the Galerkin hierarchy "
+                      "(rediscretized coarse cut operators diverge as a "
+                      "stationary iteration); clamping gamma to 1",
+                      stacklevel=2)
+        mg_gamma = 1
+
     sizes = _mg_sizes(N, coarsest)
     systems = {n: make_structured_system(n, n, fbs) for n in sizes}
     dtype = jax.tree.leaves(r)[0].dtype

@@ -367,6 +367,21 @@ def test_lean_uniform_assembly_matches_dense():
         assert np.abs(da - db).max() < 1e-12 * scale, name
 
 
+def test_lean_solve_matches_generic_fast():
+    """Fast UNMARKED end-to-end accuracy gate on the flagship (lean +
+    MG) solve path: `pytest -m 'not slow'` must still cover it (the
+    fuller dense/segment equivalences below are @slow)."""
+    r_ref = fictdom.run_fictdom(16, 1)
+    r_l = fs.solve_fictdom_structured(16, 1, mixed=False,
+                                      use_pallas=False,
+                                      cg_params=_cgp(1e-10),
+                                      fitted="lean")
+    assert int(r_l.exit_reason) == cg.CONVERGED
+    assert float(jnp.max(jnp.abs(r_l.local - r_ref.local))) < 1e-8
+    assert np.isclose(float(r_l.h1_error), float(r_ref.h1_error),
+                      rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_lean_solve_matches_dense():
     """End-to-end lean solve (uniform rhs fold, dS-only MG setup,
