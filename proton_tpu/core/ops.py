@@ -146,6 +146,15 @@ def robust_spd_solve(A, B):
     return jnp.where(bad, X_fb, X_chol)
 
 
+def spd_inverse(A):
+    """Batched SPD inverse via robust_spd_solve against the identity.
+    Use instead of jnp.linalg.inv whenever the dtype can be f64 and the
+    code can run on TPU: XLA:TPU has no f64 LuDecomposition, so
+    jnp.linalg.inv fails to compile there ("Only F32 and C64 types")."""
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    return robust_spd_solve(A, jnp.broadcast_to(eye, A.shape))
+
+
 def project_function(mesh, geom: CellGeom, hdi: HHODegreeInfo, f,
                      di: int = 0):
     """L2-projection of f onto the per-cell HHO space [C, cbs + nF*fbs]

@@ -31,7 +31,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..config import np_real_dtype
+from ..config import MATMUL_PRECISION, np_real_dtype
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +211,8 @@ def bilinear_ref_to_phys(pts4, ref_pts):
                    0.25 * (1 + xi) * (1 - eta),
                    0.25 * (1 + xi) * (1 + eta),
                    0.25 * (1 - xi) * (1 + eta)], axis=-1)     # [R, 4]
-    return jnp.einsum("rk,...kx->...rx", s, pts4)
+    return jnp.einsum("rk,...kx->...rx", s, pts4,
+                      precision=MATMUL_PRECISION)
 
 
 def face_rule(fp0, fp1, degree: int) -> QuadRule:

@@ -1717,7 +1717,7 @@ def band_galerkin_levels(levels: dict, hdi: HHODegreeInfo,
     return ship(per)
 
 
-_MGDATA_CACHE_V = "v5"    # v5: config-keyed (no S-byte hash) — bump
+_MGDATA_CACHE_V = "v6"    # v6: HIGHEST-precision V-cycle contractions — bump
                           # whenever assembly/MG-setup SEMANTICS change
 
 

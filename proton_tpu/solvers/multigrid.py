@@ -41,11 +41,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import MATMUL_PRECISION
 from ..methods.structured import (GridVec, StructuredFaceSystem,
                                   block_jacobi_preconditioner,
                                   make_structured_operator,
                                   make_structured_system,
                                   structured_diagonal)
+
+
+def _einsum(*args):
+    """f32 contractions at HIGHEST precision: the TPU MXU's DEFAULT is a
+    single bf16 pass (~4e-3 relative error per contraction) — transfer/
+    operator noise at that level makes the V-cycle a *different* map on
+    every apply, which floors the outer f32 CG (measured: the Galerkin
+    hierarchy stagnated at rel ~2e-4 with DEFAULT-precision convs)."""
+    return jnp.einsum(*args, precision=MATMUL_PRECISION)
 
 
 def _half_face_embedding(fbs: int, dtype):
@@ -85,8 +95,8 @@ def make_prolongation(sys_f: StructuredFaceSystem,
         Hc, Vc = xc.H, xc.V              # [Nc+1, Nc, fbs], [Nc, Nc+1, fbs]
         Nyc, Nxc = Hc.shape[0] - 1, Hc.shape[1]
         # coplanar H rows (fine row 2J): split each coarse face into halves
-        left = jnp.einsum("mk,yxk->yxm", E0, Hc)   # fine col 2I
-        right = jnp.einsum("mk,yxk->yxm", E1, Hc)  # fine col 2I+1
+        left = _einsum("mk,yxk->yxm", E0, Hc)   # fine col 2I
+        right = _einsum("mk,yxk->yxm", E1, Hc)  # fine col 2I+1
         Heven = jnp.stack([left, right], axis=2).reshape(
             Nyc + 1, 2 * Nxc, fbs)
         # mid H rows (fine row 2J+1): mean value of the vertically
@@ -100,8 +110,8 @@ def make_prolongation(sys_f: StructuredFaceSystem,
 
         # V faces: mirrored construction
         Nyv, Nxv = Vc.shape[0], Vc.shape[1] - 1
-        bot = jnp.einsum("mk,yxk->yxm", E0, Vc)
-        top = jnp.einsum("mk,yxk->yxm", E1, Vc)
+        bot = _einsum("mk,yxk->yxm", E0, Vc)
+        top = _einsum("mk,yxk->yxm", E1, Vc)
         Veven = jnp.stack([bot, top], axis=1).reshape(
             2 * Nyv, Nxv + 1, fbs)
         vmid = 0.5 * (Vc[:, :-1, 0] + Vc[:, 1:, 0])
@@ -131,8 +141,8 @@ def _transfer_slot_matrices(hdi, h: float, dtype):
     """
     PH, PV = _transfer_face_projectors(hdi, h)
     recmap = _unit_recmap(hdi, h)
-    MH = jnp.einsum("rcfb,bn->rcfn", PH, recmap)
-    MV = jnp.einsum("rcfb,bn->rcfn", PV, recmap)
+    MH = _einsum("rcfb,bn->rcfn", PH, recmap)
+    MV = _einsum("rcfb,bn->rcfn", PV, recmap)
     return MH.astype(dtype), MV.astype(dtype)
 
 
@@ -172,7 +182,7 @@ def _unit_recmap(hdi, h: float):
     rule = quadrature.cell_rule(mesh_c, geom_c, recdeg)
     rphi = bases.eval_cell_basis(rule.pts, geom_c.bar[:, None, :],
                                  geom_c.diam[:, None], recdeg)
-    m = jnp.einsum("cq,cqi->ci", rule.w, rphi)[0]            # [rbs]
+    m = _einsum("cq,cqi->ci", rule.w, rphi)[0]            # [rbs]
     R1 = oper[0]                                             # [rbs-1, d]
     Icbs = jnp.zeros((cbs, d), lc.dtype).at[:, :cbs].set(
         jnp.eye(cbs, dtype=lc.dtype))
@@ -211,8 +221,8 @@ def _transfer_face_projectors(hdi, h: float):
                                      jnp.linalg.norm(p1 - p0),
                                      hdi.face_degree)         # [Q, fbs]
         rphiF = bases.eval_cell_basis(frule.pts, bar_c, diam_c, recdeg)
-        Mf = jnp.einsum("q,qi,qj->ij", frule.w, fphi, fphi)
-        B = jnp.einsum("q,qi,qr->ir", frule.w, fphi, rphiF)
+        Mf = _einsum("q,qi,qj->ij", frule.w, fphi, fphi)
+        B = _einsum("q,qi,qr->ir", frule.w, fphi, rphiF)
         cf = jnp.linalg.cholesky(Mf)             # SPD face mass matrix
         return jax.scipy.linalg.cho_solve((cf, True), B)
 
@@ -241,8 +251,8 @@ def make_reconstruction_prolongation(sys_f: StructuredFaceSystem,
     def prolong(xc: GridVec) -> GridVec:
         Nyc, Nxc = sys_c.Ny, sys_c.Nx
         xl = grid_gather(sys_c, xc).reshape(Nyc, Nxc, 4 * fbs)
-        fh = jnp.einsum("rcfn,YXn->YXrcf", MH, xl)   # [Nyc,Nxc,3,2,fbs]
-        fv = jnp.einsum("rcfn,YXn->YXrcf", MV, xl)   # [Nyc,Nxc,2,3,fbs]
+        fh = _einsum("rcfn,YXn->YXrcf", MH, xl)   # [Nyc,Nxc,3,2,fbs]
+        fv = _einsum("rcfn,YXn->YXrcf", MV, xl)   # [Nyc,Nxc,2,3,fbs]
 
         def cols2(a):   # [Nyc, Nxc, 2, fbs] -> [Nyc, 2*Nxc, fbs]
             return a.reshape(Nyc, 2 * Nxc, fbs)
@@ -310,8 +320,8 @@ def make_reconstruction_prolongation_cl(sys_f: StructuredFaceSystem,
     def prolong(xc: "GridVecCL") -> "GridVecCL":
         Nyc, Nxc = sys_c.Ny, sys_c.Nx
         xl = grid_gather_cl(sys_c, xc).reshape(4 * fbs, Nyc, Nxc)
-        fh = jnp.einsum("rcfn,nYX->rcfYX", MH, xl)
-        fv = jnp.einsum("rcfn,nYX->rcfYX", MV, xl)
+        fh = _einsum("rcfn,nYX->rcfYX", MH, xl)
+        fv = _einsum("rcfn,nYX->rcfYX", MV, xl)
 
         def cols2(r):   # interleave the two column slots of H row r
             return jnp.stack([fh[r, 0], fh[r, 1]], axis=-1).reshape(
@@ -343,12 +353,12 @@ def make_reconstruction_prolongation_cl(sys_f: StructuredFaceSystem,
             for r in range(3):
                 w = 0.5 if r != 1 else 1.0
                 for c in range(2):
-                    add = w * jnp.einsum("fb,bi->fi", PHc[r, c], dv)
+                    add = w * _einsum("fb,bi->fi", PHc[r, c], dv)
                     H = H.at[:, 2 * cjj + r, 2 * cii + c].add(add)
             for rr in range(2):
                 for c in range(3):
                     w = 0.5 if c != 1 else 1.0
-                    add = w * jnp.einsum("fb,bi->fi", PVc[rr, c], dv)
+                    add = w * _einsum("fb,bi->fi", PVc[rr, c], dv)
                     V = V.at[:, 2 * cjj + rr, 2 * cii + c].add(add)
 
         return GridVecCL(H * sys_f.freeH[None], V * sys_f.freeV[None])
@@ -465,8 +475,8 @@ def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
         # transposed transfer contraction: xl_cot[n] =
         # sum_{r,c,f} M[r,c,f,n] * rf_slot[r,c,f]; then the cell->face
         # accumulation is the scatter-free concatenation add
-        a = jnp.einsum("rcfn,fYXrc->nYX", MH, fh)
-        b = jnp.einsum("rcfn,fYrXc->nYX", MV, fv)
+        a = _einsum("rcfn,fYXrc->nYX", MH, fh)
+        b = _einsum("rcfn,fYrXc->nYX", MV, fv)
         contrib = a + b                         # [nfd, Nyc, Nxc]
 
         if corr is not None and ids_np.shape[0] > 0:
@@ -475,12 +485,12 @@ def make_reconstruction_restriction_cl(sys_f: StructuredFaceSystem,
                 w = 0.5 if r != 1 else 1.0
                 for c in range(2):
                     rslot = H[:, 2 * cjj + r, 2 * cii + c]   # [fbs, Ci]
-                    s = s + w * jnp.einsum("fb,fi->bi", PHc[r, c], rslot)
+                    s = s + w * _einsum("fb,fi->bi", PHc[r, c], rslot)
             for rr in range(2):
                 for c in range(3):
                     w = 0.5 if c != 1 else 1.0
                     rslot = V[:, 2 * cjj + rr, 2 * cii + c]
-                    s = s + w * jnp.einsum("fb,fi->bi", PVc[rr, c], rslot)
+                    s = s + w * _einsum("fb,fi->bi", PVc[rr, c], rslot)
             dcot = jnp.stack([                   # [nfd, Ci]
                 sum(drec[r * nfd + n] * s[r] for r in range(rbs))
                 for n in range(nfd)])
@@ -1026,7 +1036,8 @@ def make_galerkin_operator_cl(sys: StructuredFaceSystem, kernel,
         kd = kernel.astype(x.H.dtype)
         c = jax.lax.conv_general_dilated(
             xl[None].astype(x.H.dtype), kd, (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=MATMUL_PRECISION)[0]
         zrow = jnp.zeros((fbs, 1, sys.Nx), H.dtype)
         yH = jnp.concatenate([c[b:b + fbs], zrow], axis=1) + \
             jnp.concatenate([zrow, c[t:t + fbs]], axis=1)
@@ -1038,7 +1049,7 @@ def make_galerkin_operator_cl(sys: StructuredFaceSystem, kernel,
             xli = jnp.concatenate([H[:, cj, ci], V[:, cj, ci + 1],
                                    H[:, cj + 1, ci], V[:, cj, ci]],
                                   axis=0)              # [nfd, P]
-            yp = jnp.einsum("pij,jp->ip", blocks.astype(x.H.dtype),
+            yp = _einsum("pij,jp->ip", blocks.astype(x.H.dtype),
                             xli).reshape(4, fbs, -1)
             yH = yH.at[:, rj, ri].add(yp[0]).at[:, rj + 1, ri].add(yp[2])
             yV = yV.at[:, rj, ri].add(yp[3]).at[:, rj, ri + 1].add(yp[1])
@@ -1122,12 +1133,17 @@ def make_band_deflation(sys_f: StructuredFaceSystem, apply_S, cut_ids,
     def B(y):
         H = jnp.zeros((sys_f.fbs, sys_f.Ny + 1, sys_f.Nx), dtype)
         V = jnp.zeros((sys_f.fbs, sys_f.Ny, sys_f.Nx + 1), dtype)
-        H = H.at[0, hj_d, hi_d].add(Wh_d @ y)
-        V = V.at[0, vj_d, vi_d].add(Wv_d @ y)
+        H = H.at[0, hj_d, hi_d].add(
+            jnp.matmul(Wh_d, y, precision=MATMUL_PRECISION))
+        V = V.at[0, vj_d, vi_d].add(
+            jnp.matmul(Wv_d, y, precision=MATMUL_PRECISION))
         return GridVecCL(H * sys_f.freeH[None], V * sys_f.freeV[None])
 
     def Bt(r):
-        return Wh_d.T @ r.H[0, hj_d, hi_d] + Wv_d.T @ r.V[0, vj_d, vi_d]
+        return (jnp.matmul(Wh_d.T, r.H[0, hj_d, hi_d],
+                           precision=MATMUL_PRECISION) +
+                jnp.matmul(Wv_d.T, r.V[0, vj_d, vi_d],
+                           precision=MATMUL_PRECISION))
 
     # G = B^T A B via chunked vmapped operator columns
     eye = jnp.eye(m, dtype=dtype)
@@ -1163,12 +1179,17 @@ def make_band_deflation_apply(sys_f: StructuredFaceSystem, cut_ids,
     def B(y):
         H = jnp.zeros((sys_f.fbs, sys_f.Ny + 1, sys_f.Nx), dtype)
         V = jnp.zeros((sys_f.fbs, sys_f.Ny, sys_f.Nx + 1), dtype)
-        H = H.at[0, hj_d, hi_d].add(Wh_d @ y)
-        V = V.at[0, vj_d, vi_d].add(Wv_d @ y)
+        H = H.at[0, hj_d, hi_d].add(
+            jnp.matmul(Wh_d, y, precision=MATMUL_PRECISION))
+        V = V.at[0, vj_d, vi_d].add(
+            jnp.matmul(Wv_d, y, precision=MATMUL_PRECISION))
         return GridVecCL(H * sys_f.freeH[None], V * sys_f.freeV[None])
 
     def Bt(r):
-        return Wh_d.T @ r.H[0, hj_d, hi_d] + Wv_d.T @ r.V[0, vj_d, vi_d]
+        return (jnp.matmul(Wh_d.T, r.H[0, hj_d, hi_d],
+                           precision=MATMUL_PRECISION) +
+                jnp.matmul(Wv_d.T, r.V[0, vj_d, vi_d],
+                           precision=MATMUL_PRECISION))
 
     def apply(r):
         y = jax.scipy.linalg.cho_solve((G_chol, True), Bt(r)[:, None])

@@ -155,3 +155,27 @@ def test_fictdom_k2_convergence_f64():
         errs.append(float(res.h1_error))
     order = np.log2(errs[0] / errs[1])
     assert order > 2.6, f"k=2 order={order}"
+
+
+def test_interface_condensed_matches_full():
+    """Static condensation of the doubled-dof interface system is EXACT:
+    the condensed face solve + back-substitution reproduces the full
+    system's solution, at a fraction of the iterations (round-4 verdict
+    item 7 — the full-system Jacobi PCG needed 5,439 iterations at 64^2;
+    the per-face block-Jacobi condensed solve is the production path)."""
+    from proton_tpu.solvers import cg as cg_m
+
+    p = cg_m.CGParams(convergence_threshold=1e-10,
+                      divergence_threshold=1e8, max_iter=100000,
+                      apply_preconditioner=True)
+    r_full = interface_problem.run_interface(8, 1, cg_params=p,
+                                             condensed=False)
+    r_cond = interface_problem.run_interface(8, 1, cg_params=p,
+                                             condensed=True)
+    assert int(r_full.exit_reason) == 0
+    assert int(r_cond.exit_reason) == 0
+    dev = np.max(np.abs(np.asarray(r_cond.x) - np.asarray(r_full.x)))
+    dev /= np.max(np.abs(np.asarray(r_full.x)))
+    assert dev < 1e-7, f"condensed deviates from full: {dev:.2e}"
+    assert int(r_cond.iterations) < int(r_full.iterations) / 2, (
+        int(r_cond.iterations), int(r_full.iterations))
