@@ -33,12 +33,18 @@ gather-free face-grid PCG preconditioned by the reconstruction-transfer
 multigrid V-cycle with interface-patch smoothing.
 """
 
+import gc
 import json
 import os
 import sys
 import time
 
+# Stock run (no PROTON_BENCH_K): the k=1 headline row PLUS the k=2
+# north-star row (BASELINE.md: cutHHO fictdom k=2 at 1024^2) in one JSON
+# line. Setting PROTON_BENCH_K pins a single degree as before.
 _BENCH_K = int(os.environ.get("PROTON_BENCH_K", "1"))
+_BENCH_K2 = ("PROTON_BENCH_K" not in os.environ and
+             os.environ.get("PROTON_BENCH_NORTHSTAR", "1") == "1")
 _PRECISION = os.environ.get("PROTON_BENCH_PRECISION", "mixed")
 assert _PRECISION in ("mixed", "f64", "f32"), _PRECISION
 _MIXED = _PRECISION == "mixed"
@@ -68,9 +74,15 @@ from proton_tpu.methods import assembly, cells_last  # noqa: E402
 from proton_tpu.solvers import cg  # noqa: E402
 
 
-def main():
-    N = int(os.environ.get("PROTON_BENCH_N", "1024"))
-    k = _BENCH_K
+def _progress(msg):
+    """Phase heartbeat on stderr (the JSON result goes to stdout): cold
+    runs spend minutes in remote AOT compiles and a wedged device can
+    stall a phase indefinitely — timestamps tell the two apart."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def run_bench(N, k):
     tol = float(os.environ.get("PROTON_BENCH_TOL", "1e-6"))
     precond = os.environ.get("PROTON_BENCH_PRECOND", "mg")
     want_h1 = os.environ.get("PROTON_BENCH_H1", "1") == "1"
@@ -126,9 +138,11 @@ def main():
     # ---------------- warmup probe ---------------------------------------
     # absorbs the occasional multi-minute post-fault device stall (see
     # CLAUDE.md) so it lands in warmup_s, not in the measured phases
+    _progress(f"start N={N} k={k} prec={_PRECISION}")
     t0 = time.perf_counter()
     jax.block_until_ready(jnp.ones((256, 256)) @ jnp.ones((256, 256)))
     t_warmup = time.perf_counter() - t0
+    _progress(f"warmup {t_warmup:.1f}s; classify...")
 
     # ---------------- setup: host classification + transfer ---------------
     # the band classification (cut_preprocess_band) runs on the CPU host:
@@ -158,6 +172,7 @@ def main():
     sync(geom.bar, mesh.cell_faces, batch.interface, dofmap.asm_idx,
          *(jax.tree.leaves(cut_sub) if cut_sub is not None else ()))
     t_setup = time.perf_counter() - t0
+    _progress(f"setup {t_setup:.1f}s; assembly...")
 
     # ---------------- fine-level assembly + condensation ------------------
     # the headline metric: full per-cell local assembly + condensation
@@ -183,6 +198,7 @@ def main():
     t_assembly = time.perf_counter() - t0
     C = mesh.num_cells
     elements_per_sec = C / t_assembly
+    _progress(f"assembly {t_assembly:.3f}s; system...")
 
     # ---------------- solved system: uniform split ------------------------
     # the system the CG runs on is the UNIFORM broadcast + exact splices
@@ -232,6 +248,7 @@ def main():
             mesh, None, cut_ids, cond,
             np.asarray(unit_host[0], np.float64), irr, batch, cell_loc)
     t_system = time.perf_counter() - t0
+    _progress(f"system {t_system:.1f}s; mg setup...")
 
     # ---------------- MG hierarchy + V-cycle setup -------------------------
     # coarse levels are O(band) lean arrays, disk-cached per (geometry,
@@ -321,6 +338,7 @@ def main():
              *jax.tree.leaves(rhs))
         mg_pre = (mgdata, rhs, gF_cl)
     t_mg_setup = time.perf_counter() - t0
+    _progress(f"mg setup {t_mg_setup:.1f}s; solve (warm-up run)...")
 
     # ---------------- condensed face-grid solve ---------------------------
     # k >= 2 at N >= 256: libtpu faults on the while_loop-wrapped deep
@@ -362,10 +380,12 @@ def main():
 
     local, iters, exit_reason, rel = solve()
     sync(local)
+    _progress(f"solve warm-up done ({int(iters)} iters, exit {int(exit_reason)}); timed solve...")
     t0 = time.perf_counter()
     local, iters, exit_reason, rel = solve()
     sync(local)
     t_solve = time.perf_counter() - t0
+    _progress(f"solve {t_solve:.1f}s; h1...")
 
     # ---------------- H1 error vs manufactured solution -------------------
     h1 = None
@@ -411,6 +431,43 @@ def main():
                       "f64": "f64(f32-mg-precond)",
                       "f32": "float32"}[_PRECISION],
     }
+    return result
+
+
+_K2_FIELDS = ("k", "dofs", "condensed_dofs", "cut_cells", "setup_s",
+              "cut_splice_s", "assembly_s", "value", "system_s",
+              "mg_setup_s", "solve_s", "h1_s", "end_to_end_s",
+              "cg_iters", "cg_rel_residual", "cg_exit", "h1_error")
+
+
+def main():
+    N = int(os.environ.get("PROTON_BENCH_N", "1024"))
+    result = run_bench(N, _BENCH_K)
+    if _BENCH_K2:
+        # north-star row (BASELINE.md): k=2 at the same mesh, same
+        # precision mode, appended as a sub-object so the driver's one
+        # recorded JSON line carries both degrees. Runs in a SUBPROCESS
+        # with a timeout: k>=2 at large N is the historical device-fault
+        # landscape (libtpu while_loop faults, post-fault wedges), and a
+        # hang there must not take down the recorded k=1 row.
+        gc.collect()
+        import subprocess
+        env = dict(os.environ)
+        env["PROTON_BENCH_K"] = "2"
+        k2_timeout = float(os.environ.get("PROTON_BENCH_K2_TIMEOUT",
+                                          "3600"))
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=k2_timeout)
+            if res.stderr:
+                sys.stderr.write(res.stderr[-4000:])
+            line = next(l for l in reversed(res.stdout.splitlines())
+                        if l.startswith("{"))
+            r2 = json.loads(line)
+            result["k2"] = {f: r2[f] for f in _K2_FIELDS if f in r2}
+        except Exception as e:  # record the failure, keep the k=1 row
+            result["k2"] = {"error": repr(e)[:500]}
     print(json.dumps(result))
     return 0
 

@@ -1847,6 +1847,7 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
               else cond.S)
     x = nr0 = None
     total = 0
+    trace = os.environ.get("PROTON_SOLVE_TRACE", "0") == "1"
     while True:
         x, it, ex, rel, nr0 = _cg_seg_jit(
             S_fine, mgdata, rhs, x, nr0,
@@ -1857,6 +1858,11 @@ def solve_segments(mesh, dofmap, cond, S_list, cg_params, segment: int,
             cg_params=seg_params, **stat)
         total += int(it)
         ex = int(ex)
+        if trace:
+            import sys as _sys
+            print(f"[solve {time.strftime('%H:%M:%S')}] total={total} "
+                  f"rel={float(rel):.3e} exit={ex}", file=_sys.stderr,
+                  flush=True)
         if ex in (cg.CONVERGED, cg.DIVERGED) or \
                 total >= cg_params.max_iter:
             break
