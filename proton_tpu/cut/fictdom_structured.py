@@ -1496,6 +1496,7 @@ def solve_chunked(mesh, dofmap, cond, S_list, cg_params, kw: dict,
     total = 0
     ex = cg.MAX_ITER_REACHED
     rel = 1.0
+    trace = os.environ.get("PROTON_SOLVE_TRACE", "0") == "1"
     while total < cg_params.max_iter:
         x = r = p = rz = None
         inner = 0
@@ -1507,6 +1508,11 @@ def solve_chunked(mesh, dofmap, cond, S_list, cg_params, kw: dict,
             inner += steps
             total += steps
             rel = float(nr) / nr0
+            if trace and total % 50 == 0:
+                import sys as _sys
+                print(f"[solve {time.strftime('%H:%M:%S')}] "
+                      f"total={total} rel={rel:.3e}", file=_sys.stderr,
+                      flush=True)
             if not np.isfinite(rel) or rel >                     cg_params.divergence_threshold:
                 ex = cg.DIVERGED
                 break
